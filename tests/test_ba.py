@@ -1,0 +1,154 @@
+"""Sliding-window Schur-complement BA tests on synthetic windows."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from visual_odometry_ros_tpu.ops import ba
+from visual_odometry_ros_tpu.utils import geometry as geo
+
+FX = FY = 700.0
+CX, CY = 320.0, 240.0
+K = 8  # window capacity
+M = 256  # landmark capacity
+
+
+def _make_window(rng, n_kf=8, n_lm=200, noise_px=0.3, pose_noise=0.02, point_noise=0.10, stereo=False):
+    """Ground-truth trajectory + landmarks, noisy initial estimates."""
+    # Camera moves forward with slight rotation.
+    T_cw_gt = []
+    for k in range(n_kf):
+        xi = np.array([0.02 * k, 0.01 * k, -0.8 * k, 0.002 * k, 0.02 * k, 0.001 * k], np.float32)
+        T_wc = np.asarray(geo.se3_exp(jnp.asarray(xi)))
+        T_cw_gt.append(np.asarray(geo.se3_inverse(jnp.asarray(T_wc))))
+    T_cw_gt = np.stack(T_cw_gt)
+
+    Xw_gt = np.stack(
+        [rng.uniform(-8, 8, n_lm), rng.uniform(-5, 5, n_lm), rng.uniform(8, 35, n_lm)], -1
+    ).astype(np.float32)
+
+    baseline = 0.54
+    T_rl = np.eye(4, dtype=np.float32)
+    T_rl[0, 3] = -baseline
+
+    pts = np.zeros((M, K, 2), np.float32)
+    mask = np.zeros((M, K), bool)
+    pts_r = np.zeros((M, K, 2), np.float32)
+    mask_r = np.zeros((M, K), bool)
+    for k in range(n_kf):
+        Xc = Xw_gt @ T_cw_gt[k, :3, :3].T + T_cw_gt[k, :3, 3]
+        ok = Xc[:, 2] > 1.0
+        uv = np.stack([Xc[:, 0] / Xc[:, 2] * FX + CX, Xc[:, 1] / Xc[:, 2] * FY + CY], -1)
+        ok &= (uv[:, 0] > 5) & (uv[:, 0] < 635) & (uv[:, 1] > 5) & (uv[:, 1] < 475)
+        pts[:n_lm, k] = uv + rng.normal(0, noise_px, (n_lm, 2))
+        mask[:n_lm, k] = ok
+        if stereo:
+            Xrc = Xc @ T_rl[:3, :3].T + T_rl[:3, 3]
+            uvr = np.stack([Xrc[:, 0] / Xrc[:, 2] * FX + CX, Xrc[:, 1] / Xrc[:, 2] * FY + CY], -1)
+            okr = ok & (Xrc[:, 2] > 1.0) & (uvr[:, 0] > 5) & (uvr[:, 0] < 635)
+            pts_r[:n_lm, k] = uvr + rng.normal(0, noise_px, (n_lm, 2))
+            mask_r[:n_lm, k] = okr
+
+    # Perturb non-fixed poses and all points; pad dead slots with identity.
+    T_cw_init = np.broadcast_to(np.eye(4, dtype=np.float32), (K, 4, 4)).copy()
+    T_cw_init[:n_kf] = T_cw_gt
+    for k in range(2, n_kf):
+        dxi = rng.normal(0, pose_noise, 6).astype(np.float32)
+        T_cw_init[k] = np.asarray(geo.add_front_se3(jnp.asarray(T_cw_gt[k]), jnp.asarray(dxi)))
+    Xw_init = np.zeros((M, 3), np.float32)
+    Xw_init[:n_lm] = Xw_gt + rng.normal(0, point_noise, (n_lm, 3)).astype(np.float32)
+
+    problem = ba.BAProblem(
+        T_cw=jnp.asarray(T_cw_init),
+        Xw=jnp.asarray(Xw_init),
+        pts=jnp.asarray(pts),
+        mask=jnp.asarray(mask),
+        pts_r=jnp.asarray(pts_r),
+        mask_r=jnp.asarray(mask_r),
+        kf_valid=jnp.asarray(np.arange(K) < n_kf),
+        lm_valid=jnp.asarray(np.arange(M) < n_lm),
+    )
+    return problem, T_cw_gt, Xw_gt, np.asarray(T_rl)
+
+
+def _pose_errors(T_est, T_gt, n_kf):
+    errs_t, errs_r = [], []
+    for k in range(n_kf):
+        dT = np.asarray(geo.se3_inverse(jnp.asarray(T_est[k]))) @ T_gt[k]
+        errs_t.append(np.linalg.norm(dT[:3, 3]))
+        ang = np.degrees(np.arccos(np.clip((np.trace(dT[:3, :3]) - 1) / 2, -1, 1)))
+        errs_r.append(ang)
+    return np.array(errs_t), np.array(errs_r)
+
+
+def test_ba_mono_reduces_error(rng):
+    problem, T_gt, X_gt, T_rl = _make_window(rng)
+    et0, er0 = _pose_errors(np.asarray(problem.T_cw), T_gt, 8)
+
+    res = ba.ba_solve(problem, FX, FY, CX, CY, jnp.asarray(T_rl))
+    et1, er1 = _pose_errors(np.asarray(res.T_cw), T_gt, 8)
+
+    assert float(res.mean_err_px) < 0.6  # down to the noise floor
+    assert et1[2:].max() < et0[2:].max() * 0.6
+    assert et1[2:].max() < 0.03  # statistical floor for this mono geometry
+    assert er1[2:].max() < 0.06
+    # Fixed keyframes untouched.
+    np.testing.assert_allclose(np.asarray(res.T_cw)[:2], np.asarray(problem.T_cw)[:2], atol=0)
+
+
+def test_ba_mono_point_refinement(rng):
+    problem, T_gt, X_gt, T_rl = _make_window(rng, point_noise=0.3)
+    res = ba.ba_solve(problem, FX, FY, CX, CY, jnp.asarray(T_rl))
+    X_est = np.asarray(res.Xw)[:200]
+    err0 = np.linalg.norm(np.asarray(problem.Xw)[:200] - X_gt, axis=-1)
+    err1 = np.linalg.norm(X_est - X_gt, axis=-1)
+    # Depth uncertainty at 8-35 m with 0.3 px noise bounds the gain; the
+    # reprojection error hitting the noise floor is the convergence check.
+    assert np.median(err1) < np.median(err0) * 0.5
+    assert float(res.mean_err_px) < 0.6
+
+
+def test_ba_stereo(rng):
+    problem, T_gt, X_gt, T_rl = _make_window(rng, stereo=True)
+    res = ba.ba_solve(problem, FX, FY, CX, CY, jnp.asarray(T_rl))
+    et1, er1 = _pose_errors(np.asarray(res.T_cw), T_gt, 8)
+    assert float(res.mean_err_px) < 0.6
+    assert et1[2:].max() < 0.01  # stereo pins scale: tighter than mono
+    assert er1[2:].max() < 0.05
+
+
+def test_ba_huber_downweights_outliers(rng):
+    problem, T_gt, X_gt, T_rl = _make_window(rng)
+    # Corrupt 10% of observations grossly.
+    pts = np.asarray(problem.pts).copy()
+    mask = np.asarray(problem.mask)
+    n_bad = 0
+    for m in range(200):
+        if rng.uniform() < 0.1 and mask[m, 4]:
+            pts[m, 4] += rng.uniform(20, 60, 2)
+            n_bad += 1
+    assert n_bad > 5
+    problem = problem._replace(pts=jnp.asarray(pts))
+    res = ba.ba_solve(problem, FX, FY, CX, CY, jnp.asarray(T_rl), ba.BAParams(huber_delta=0.5))
+    et1, _ = _pose_errors(np.asarray(res.T_cw), T_gt, 8)
+    assert et1[2:].max() < 0.03  # matches the clean-data mono floor
+
+
+def test_ba_partial_window(rng):
+    """Window with only 5 live keyframes of 8 capacity: empty slots ignored."""
+    problem, T_gt, X_gt, T_rl = _make_window(rng, n_kf=5)
+    res = ba.ba_solve(problem, FX, FY, CX, CY, jnp.asarray(T_rl))
+    et1, _ = _pose_errors(np.asarray(res.T_cw), T_gt, 5)
+    assert et1[2:5].max() < 0.03
+    # Dead slots untouched
+    np.testing.assert_allclose(np.asarray(res.T_cw)[5:], np.asarray(problem.T_cw)[5:], atol=0)
+
+
+def test_ba_kills_runaway_landmarks(rng):
+    problem, T_gt, X_gt, T_rl = _make_window(rng)
+    Xw = np.asarray(problem.Xw).copy()
+    Xw[5] = [0, 0, 5000.0]  # runaway
+    problem = problem._replace(Xw=jnp.asarray(Xw))
+    res = ba.ba_solve(problem, FX, FY, CX, CY, jnp.asarray(T_rl))
+    lv = np.asarray(res.lm_valid)
+    assert not lv[5]
+    assert lv[:200].sum() > 190

@@ -1,0 +1,215 @@
+"""Fixed-capacity map state: landmark arena, track state, keyframe ring.
+
+Capability parity with the reference map data model (L2):
+  - `Landmark` (core/visual_odometry/landmark.{h,cpp}): 3D point, alive/
+    tracked/triangulated/bundled flags, age, incremental min/max/avg/last
+    parallax statistics (landmark.cpp:107-134).
+  - `LandmarkTracking` (landmark.cpp:185-270): the SoA batch of per-frame
+    correspondences — here a fixed-capacity `TrackState` whose mask-filter
+    "compaction" is just `valid &= mask` (no reallocation, no pointers).
+  - `Keyframes` sliding window (keyframes.{h,cpp}): ring buffer of keyframe
+    slots with per-slot observation tables; `checkUpdateRule`
+    (keyframes.cpp:47-125) is computed as scalars inside jit.
+
+TPU-first: `shared_ptr` graphs become integer slot indices into static-shape
+arrays; every mutation is a masked scatter. Free-slot allocation is a cumsum
+ranking (SURVEY.md §7 'slot-allocation into the fixed arena').
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LandmarkArena(NamedTuple):
+    """Global landmark store; capacity M is static."""
+
+    Xw: jax.Array  # [M, 3] world position
+    alive: jax.Array  # [M] bool
+    tracked: jax.Array  # [M] bool — tracked into the current frame
+    triangulated: jax.Array  # [M] bool — Xw is valid
+    bundled: jax.Array  # [M] bool — touched by BA at least once
+    age: jax.Array  # [M] int32 — #frames observed
+    last_pt: jax.Array  # [M, 2] most recent pixel observation
+    inv_depth: jax.Array  # [M] depth-filter state: inverse-depth mean
+    inv_depth_var: jax.Array  # [M] depth-filter state: variance
+    df_a: jax.Array  # [M] Beta-distribution inlier count (depth filter)
+    df_b: jax.Array  # [M] Beta-distribution outlier count
+    parallax_last: jax.Array  # [M] rad
+    parallax_max: jax.Array  # [M] rad
+
+    @property
+    def capacity(self) -> int:
+        return self.Xw.shape[0]
+
+
+def make_arena(capacity: int) -> LandmarkArena:
+    z1 = jnp.zeros((capacity,), jnp.float32)
+    return LandmarkArena(
+        Xw=jnp.zeros((capacity, 3), jnp.float32),
+        alive=jnp.zeros((capacity,), bool),
+        tracked=jnp.zeros((capacity,), bool),
+        triangulated=jnp.zeros((capacity,), bool),
+        bundled=jnp.zeros((capacity,), bool),
+        age=jnp.zeros((capacity,), jnp.int32),
+        last_pt=jnp.zeros((capacity, 2), jnp.float32),
+        inv_depth=z1,
+        inv_depth_var=z1,
+        df_a=z1,
+        df_b=z1,
+        parallax_last=z1,
+        parallax_max=z1,
+    )
+
+
+class TrackState(NamedTuple):
+    """Per-frame active tracks; capacity N is static (LandmarkTracking analog)."""
+
+    pts: jax.Array  # [N, 2] pixel position in the current frame
+    lm_idx: jax.Array  # [N] int32 arena slot (undefined where ~valid)
+    valid: jax.Array  # [N] bool
+    scale: jax.Array  # [N] patch-scale prior (depth ratio)
+
+    @property
+    def capacity(self) -> int:
+        return self.pts.shape[0]
+
+
+def make_tracks(capacity: int) -> TrackState:
+    return TrackState(
+        pts=jnp.zeros((capacity, 2), jnp.float32),
+        lm_idx=jnp.full((capacity,), -1, jnp.int32),
+        valid=jnp.zeros((capacity,), bool),
+        scale=jnp.ones((capacity,), jnp.float32),
+    )
+
+
+class KeyframeRing(NamedTuple):
+    """Sliding keyframe window; capacity K static. Slot `head` is newest."""
+
+    T_cw: jax.Array  # [K, 4, 4]
+    valid: jax.Array  # [K] bool
+    frame_id: jax.Array  # [K] int32
+    pts: jax.Array  # [K, N, 2] feature pixels at this KF (left cam)
+    pts_r: jax.Array  # [K, N, 2] right-cam pixels (stereo; zeros in mono)
+    lm_idx: jax.Array  # [K, N] int32 arena slots
+    obs_valid: jax.Array  # [K, N]
+    obs_valid_r: jax.Array  # [K, N]
+    head: jax.Array  # [] int32 — index of newest keyframe slot
+    count: jax.Array  # [] int32 — number of live keyframes
+
+    @property
+    def capacity(self) -> int:
+        return self.T_cw.shape[0]
+
+
+def make_ring(K: int, N: int) -> KeyframeRing:
+    return KeyframeRing(
+        T_cw=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (K, 4, 4)),
+        valid=jnp.zeros((K,), bool),
+        frame_id=jnp.full((K,), -1, jnp.int32),
+        pts=jnp.zeros((K, N, 2), jnp.float32),
+        pts_r=jnp.zeros((K, N, 2), jnp.float32),
+        lm_idx=jnp.full((K, N), -1, jnp.int32),
+        obs_valid=jnp.zeros((K, N), bool),
+        obs_valid_r=jnp.zeros((K, N), bool),
+        head=jnp.asarray(-1, jnp.int32),
+        count=jnp.asarray(0, jnp.int32),
+    )
+
+
+def allocate_slots(free: jax.Array, n_request: int):
+    """Assign the first `n_request` free slots (cumsum ranking, jit-static).
+
+    free: [M] bool. Returns (slots [n_request] int32, ok [n_request] bool).
+    slot j = index of the (j+1)-th free lane; ok=False when fewer free lanes
+    exist than requested.
+    """
+    M = free.shape[0]
+    rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free slots
+    hit = free & (rank < n_request)
+    slot_of_rank = (
+        jnp.zeros((n_request,), jnp.int32)
+        .at[jnp.where(hit, rank, n_request)]
+        .set(jnp.arange(M, dtype=jnp.int32), mode="drop")
+    )
+    n_free = jnp.sum(free.astype(jnp.int32))
+    ok = jnp.arange(n_request) < n_free
+    return slot_of_rank, ok
+
+
+def ring_push(ring: KeyframeRing, T_cw, frame_id, pts, pts_r, lm_idx, obs_valid, obs_valid_r):
+    """Insert a keyframe at the next ring slot (evicting the oldest when full).
+
+    Matches Keyframes::addNewKeyframe's pop-oldest behavior (keyframes.cpp:30-45)
+    with a circular index instead of list surgery.
+    """
+    K = ring.capacity
+    slot = (ring.head + 1) % K
+    return ring._replace(
+        T_cw=ring.T_cw.at[slot].set(T_cw),
+        valid=ring.valid.at[slot].set(True),
+        frame_id=ring.frame_id.at[slot].set(frame_id),
+        pts=ring.pts.at[slot].set(pts),
+        pts_r=ring.pts_r.at[slot].set(pts_r),
+        lm_idx=ring.lm_idx.at[slot].set(lm_idx),
+        obs_valid=ring.obs_valid.at[slot].set(obs_valid),
+        obs_valid_r=ring.obs_valid_r.at[slot].set(obs_valid_r),
+        head=slot,
+        count=jnp.minimum(ring.count + 1, K),
+    )
+
+
+def ring_order(ring: KeyframeRing) -> jax.Array:
+    """[K] slot indices oldest -> newest among live slots (dead slots last)."""
+    K = ring.capacity
+    offs = jnp.arange(K, dtype=jnp.int32)
+    # newest = head, oldest = head - (count-1)
+    idx = (ring.head - (ring.count - 1) + offs) % K
+    return idx
+
+
+def gather_ba_problem(ring: KeyframeRing, arena: LandmarkArena, M_cap: int | None = None):
+    """Scatter the ring's per-KF observation tables into the dense [M, K]
+    incidence the BA solver consumes (SparseBAParameters analog).
+
+    Keyframe axis is ordered oldest->newest so BA's n_fix applies to the
+    oldest window poses. Returns (BAProblem fields as a dict) — the caller
+    assembles the final BAProblem with the arena's Xw.
+    """
+    K = ring.capacity
+    M = arena.capacity if M_cap is None else M_cap
+    order = ring_order(ring)
+    T_cw = ring.T_cw[order]
+    kf_valid = ring.valid[order]
+
+    pts_mk = jnp.zeros((M, K, 2), jnp.float32)
+    mask_mk = jnp.zeros((M, K), bool)
+    pts_r_mk = jnp.zeros((M, K, 2), jnp.float32)
+    mask_r_mk = jnp.zeros((M, K), bool)
+
+    lm = ring.lm_idx[order]  # [K, N]
+    ov = ring.obs_valid[order] & kf_valid[:, None]
+    ovr = ring.obs_valid_r[order] & kf_valid[:, None]
+    # Dead lanes scatter out of bounds and are dropped — no clobbering.
+    lm_l = jnp.where(ov, lm, M)
+    lm_r = jnp.where(ovr, lm, M)
+
+    kk = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], lm.shape)
+    pts_mk = pts_mk.at[lm_l, kk].set(ring.pts[order], mode="drop")
+    pts_r_mk = pts_r_mk.at[lm_r, kk].set(ring.pts_r[order], mode="drop")
+    mask_mk = mask_mk.at[lm_l, kk].set(True, mode="drop")
+    mask_r_mk = mask_r_mk.at[lm_r, kk].set(True, mode="drop")
+
+    return dict(
+        T_cw=T_cw,
+        pts=pts_mk,
+        mask=mask_mk,
+        pts_r=pts_r_mk,
+        mask_r=mask_r_mk,
+        kf_valid=kf_valid,
+        lm_valid=arena.alive & arena.triangulated,
+    )

@@ -149,6 +149,6 @@ def test_ba_kills_runaway_landmarks(rng):
     Xw[5] = [0, 0, 5000.0]  # runaway
     problem = problem._replace(Xw=jnp.asarray(Xw))
     res = ba.ba_solve(problem, FX, FY, CX, CY, jnp.asarray(T_rl))
-    lv = np.asarray(res.lm_valid)
-    assert not lv[5]
-    assert lv[:200].sum() > 190
+    killed = np.asarray(res.killed)
+    assert killed[5]
+    assert killed[:200].sum() < 10

@@ -1,0 +1,87 @@
+"""End-to-end StereoVO pipeline test on a synthetic plane sequence."""
+
+import numpy as np
+import pytest
+
+from visual_odometry_ros_tpu.config import VOConfig
+from visual_odometry_ros_tpu.io.synthetic import PlaneSequence, forward_trajectory
+from visual_odometry_ros_tpu.io.trajectory import ate_rmse, rpe
+from visual_odometry_ros_tpu.models.stereo_vo import StereoVO
+
+
+def _small_cfg():
+    cfg = VOConfig()
+    cfg.cam.fx = cfg.cam.fy = 500.0
+    cfg.cam.cx, cfg.cam.cy = 320.0, 240.0
+    cfg.cam.width, cfg.cam.height = 640, 480
+    cfg.cam_right = cfg.cam
+    cfg.T_lr = np.eye(4, dtype=np.float32)
+    cfg.T_lr[0, 3] = 0.5
+    cfg.flagDoUndistortion = False
+    cfg.extractor.n_features = 384
+    cfg.extractor.n_bins_u = 16
+    cfg.extractor.n_bins_v = 10
+    cfg.extractor.score_min = 10.0
+    cfg.extractor.thres_fastscore = 8.0
+    cfg.map.landmark_capacity = 2048
+    cfg.keyframe.n_max_keyframes_in_window = 5
+    cfg.keyframe.thres_translation = 1.0
+    cfg.tracker.max_level = 3
+    cfg.tracker.max_iter = 15
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def seq():
+    world = PlaneSequence(z0=14.0, sx=0.3, sy=0.15, baseline=0.5)
+    poses = forward_trajectory(12, step=0.22, yaw_rate=0.0015)
+    frames = [world.stereo_pair(T.astype(np.float64)) for T in poses]
+    return world, poses, frames
+
+
+def test_stereo_vo_tracks_sequence(seq):
+    world, poses_gt, frames = seq
+    vo = StereoVO(_small_cfg())
+    for (il, ir) in frames:
+        T, stats = vo.track_stereo_images(il, ir)
+    traj = np.stack(vo.trajectory)
+
+    assert len(traj) == len(poses_gt)
+    # Metric ATE (no alignment beyond SE3): stereo gives absolute scale.
+    err = ate_rmse(traj, poses_gt, align="none")
+    total_dist = 0.22 * 11
+    assert err < 0.05 * total_dist  # < 5% of distance travelled
+    # Per-frame relative error small
+    t_rmse, r_rmse = rpe(traj, poses_gt)
+    assert t_rmse < 0.02
+    assert r_rmse < 0.2
+
+    # Sanity on stats
+    last = vo.stats_log[-1]
+    assert last["n_inliers"] > 50
+    assert last["pose_ok"]
+
+
+def test_stereo_vo_keyframes_and_ba(seq):
+    world, poses_gt, frames = seq
+    vo = StereoVO(_small_cfg())
+    for (il, ir) in frames:
+        vo.track_stereo_images(il, ir)
+    # thres_translation=1.0 m, 0.22 m/frame -> keyframe roughly every 5 frames
+    n_kf = sum(1 for s in vo.stats_log if s.get("keyframe"))
+    assert n_kf >= 2
+    # BA ran and converged to sub-pixel reprojection error
+    ba_errs = [s["ba_err"] for s in vo.stats_log if s.get("ba_err") is not None]
+    assert ba_errs and all(e < 1.0 for e in ba_errs)
+
+
+def test_stereo_vo_scale_correct(seq):
+    """Stereo VO must recover metric scale from the baseline."""
+    world, poses_gt, frames = seq
+    vo = StereoVO(_small_cfg())
+    for (il, ir) in frames:
+        vo.track_stereo_images(il, ir)
+    traj = np.stack(vo.trajectory)
+    d_est = np.linalg.norm(traj[-1][:3, 3] - traj[0][:3, 3])
+    d_gt = np.linalg.norm(poses_gt[-1][:3, 3] - poses_gt[0][:3, 3])
+    assert abs(d_est - d_gt) / d_gt < 0.03

@@ -1,0 +1,133 @@
+"""Synthetic stereo/mono sequence renderer with exact ground truth.
+
+The reference validates system-level behavior on KITTI rosbags (SURVEY.md §4);
+for hermetic CI we additionally need sequences with analytic ground truth. A
+slanted textured plane is rendered through each camera by a plane-induced
+homography — giving smoothly varying depth (non-degenerate for BA), exact
+poses, and exact depth maps, with no dataset dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class PlaneSequence:
+    """Textured slanted-plane world rendered for a moving stereo rig.
+
+    World: plane through (0, 0, z0) spanned by (1, 0, sx) and (0, 1, sy) —
+    depth varies across the image. Texture is smooth random noise (trackable).
+    """
+
+    def __init__(
+        self,
+        width=640,
+        height=480,
+        fx=500.0,
+        fy=500.0,
+        cx=320.0,
+        cy=240.0,
+        baseline=0.5,
+        z0=12.0,
+        sx=0.25,
+        sy=0.12,
+        tex_size=4096,
+        tex_scale=140.0,  # texture pixels per world unit
+        seed=3,
+        smooth=2,
+    ):
+        self.width, self.height = width, height
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.baseline = baseline
+        rng = np.random.default_rng(seed)
+        tex = rng.uniform(30.0, 220.0, (tex_size, tex_size)).astype(np.float32)
+        k = np.ones(3, np.float32) / 3
+        for _ in range(smooth):
+            tex = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, tex)
+            tex = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, tex)
+        self.tex = tex
+        self.tex_size = tex_size
+        self.tex_scale = tex_scale
+        # Plane: X(s, t) = [s, t, z0 + sx*s + sy*t]
+        self.z0, self.sx, self.sy = z0, sx, sy
+        self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+        self.T_lr = np.eye(4, dtype=np.float32)
+        self.T_lr[0, 3] = baseline
+
+    def _homography_cam_from_plane(self, T_cw: np.ndarray) -> np.ndarray:
+        """H mapping plane coords (s, t, 1) -> pixel homogeneous coords."""
+        R = T_cw[:3, :3].astype(np.float64)
+        t = T_cw[:3, 3].astype(np.float64)
+        # X_w = A @ [s, t, 1] with A columns: d(X)/ds, d(X)/dt, X(0,0)
+        A = np.array(
+            [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [self.sx, self.sy, self.z0]], np.float64
+        )
+        P = self.K @ (R @ A + t[:, None] @ np.array([[0.0, 0.0, 1.0]]))
+        return P
+
+    def render(self, T_cw: np.ndarray) -> np.ndarray:
+        """Render the plane seen from camera pose T_cw (world->cam)."""
+        H = self._homography_cam_from_plane(T_cw)
+        Hinv = np.linalg.inv(H)
+        uu, vv = np.meshgrid(
+            np.arange(self.width, dtype=np.float64), np.arange(self.height, dtype=np.float64)
+        )
+        ph = np.stack([uu, vv, np.ones_like(uu)], axis=-1) @ Hinv.T
+        s = ph[..., 0] / ph[..., 2]
+        t = ph[..., 1] / ph[..., 2]
+        # plane coords -> texture pixels (wrap)
+        ts = (s * self.tex_scale) % (self.tex_size - 1)
+        tt = (t * self.tex_scale) % (self.tex_size - 1)
+        i0 = np.clip(np.floor(ts).astype(int), 0, self.tex_size - 2)
+        j0 = np.clip(np.floor(tt).astype(int), 0, self.tex_size - 2)
+        fi = (ts - i0).astype(np.float32)
+        fj = (tt - j0).astype(np.float32)
+        tex = self.tex
+        img = (
+            tex[j0, i0] * (1 - fi) * (1 - fj)
+            + tex[j0, i0 + 1] * fi * (1 - fj)
+            + tex[j0 + 1, i0] * (1 - fi) * fj
+            + tex[j0 + 1, i0 + 1] * fi * fj
+        )
+        return img.astype(np.float32)
+
+    def depth(self, T_cw: np.ndarray) -> np.ndarray:
+        """Exact depth map for pose T_cw (for oracle checks)."""
+        H = self._homography_cam_from_plane(T_cw)
+        Hinv = np.linalg.inv(H)
+        uu, vv = np.meshgrid(
+            np.arange(self.width, dtype=np.float64), np.arange(self.height, dtype=np.float64)
+        )
+        ph = np.stack([uu, vv, np.ones_like(uu)], axis=-1) @ Hinv.T
+        s = ph[..., 0] / ph[..., 2]
+        t = ph[..., 1] / ph[..., 2]
+        Xw = np.stack([s, t, self.z0 + self.sx * s + self.sy * t], axis=-1)
+        R = T_cw[:3, :3].astype(np.float64)
+        tvec = T_cw[:3, 3].astype(np.float64)
+        Xc = Xw @ R.T + tvec
+        return Xc[..., 2].astype(np.float32)
+
+    def stereo_pair(self, T_wc: np.ndarray):
+        """(left, right) images for left-cam pose T_wc (cam->world).
+
+        T_lr is the pose of the right camera in the left frame (reference
+        convention), so the right camera's world pose is T_wc @ T_lr.
+        """
+        T_cw_l = np.linalg.inv(T_wc)
+        T_cw_r = np.linalg.inv(T_wc @ self.T_lr.astype(np.float64))
+        return self.render(T_cw_l), self.render(T_cw_r)
+
+
+def forward_trajectory(n_frames: int, step=0.25, yaw_rate=0.002, lateral=0.0):
+    """[n, 4, 4] T_wc poses: forward (+z) motion with gentle yaw."""
+    import jax.numpy as jnp
+
+    from ..utils import geometry as geo
+
+    poses = []
+    for i in range(n_frames):
+        xi = np.array(
+            [lateral * i, 0.0, step * i, 0.0, yaw_rate * i, 0.0], np.float32
+        )
+        poses.append(np.asarray(geo.se3_exp(jnp.asarray(xi))))
+    return np.stack(poses)

@@ -1,0 +1,461 @@
+"""Stereo visual-odometry pipeline — jitted steady-state step + keyframe/BA step.
+
+Capability parity with the reference `StereoVO`
+(core/visual_odometry/stereo_vo/stereo_vo.{h,cpp}, trackStereoImages
+stereo_vo.cpp:392-989):
+  [rectify]  StereoCamera::rectifyStereoImages            -> rectify_stereo_images
+  [1-3]      constant-velocity prior + projected landmark priors (:465-522)
+  [4]        trackWithPrior prev->curr left (:531-536)
+  [4-1]      trackWithScale refinement (:546-556)
+  [5]        static stereo matching left->right (:563-569)
+  [6]        poseOnlyBundleAdjustment_Stereo (:619-643)
+  [7]        outlier gate (:652-668 — the reference stubs this to a y>660
+             hack; we gate on pose-GN inlier reprojection instead)
+  [8]        landmark observation/parallax updates (:677-683)
+  [10]       binned feature replenishment + stereo triangulation (:691-739)
+  [11-12]    keyframe rule + window re-triangulation + local BA (:752-802)
+
+Architecture (TPU-first, not a port): the whole steady-state frame is ONE
+jitted function over fixed-capacity state (tracks N, arena M, ring K); the
+keyframe+BA path is a second jitted function invoked only when the host reads
+the keyframe-rule scalars. No shape ever depends on data.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import camera as cam_mod
+from ..config import VOConfig
+from ..mapping import arena as A
+from ..ops import ba as BA
+from ..ops import depth_filter as DF
+from ..ops import features as F
+from ..ops import klt as KLT
+from ..ops.pyramid import scharr_gradients
+from ..ops import pose_gn as PG
+from ..utils import geometry as geo
+
+
+class StereoVOState(NamedTuple):
+    T_wc: jax.Array  # [4, 4] current left-cam pose (cam->world)
+    dT: jax.Array  # [4, 4] last frame-to-frame motion (T_wc_prev^-1 @ T_wc)
+    tracks: A.TrackState
+    tracks_r: jax.Array  # [N, 2] right-cam pixel per track lane
+    tracks_r_valid: jax.Array  # [N]
+    arena: A.LandmarkArena
+    ring: A.KeyframeRing
+    img_prev: jax.Array  # [H, W] previous rectified left image
+    frame_id: jax.Array  # int32
+
+
+class FrameStats(NamedTuple):
+    n_tracked: jax.Array
+    n_inliers: jax.Array
+    n_new: jax.Array
+    pose_ok: jax.Array
+    mean_reproj_err: jax.Array
+    overlap_ratio: jax.Array  # vs last keyframe
+    kf_translation: jax.Array  # meters since last KF
+    kf_rotation_deg: jax.Array
+    need_keyframe: jax.Array
+
+
+class StereoVO:
+    """Host-side driver owning the jitted step functions.
+
+    Control flow that is per-frame scalar (init phase, keyframe decision)
+    stays in Python; everything tensor-shaped lives in three jit functions
+    (first_frame / steady_step / keyframe_step) that are compiled once.
+    """
+
+    def __init__(self, cfg: VOConfig):
+        self.cfg = cfg
+        c = cfg.cam
+        left = cam_mod.make_camera(c.fx, c.fy, c.cx, c.cy, c.dist, c.width, c.height)
+        cr = cfg.cam_right
+        right = cam_mod.make_camera(cr.fx, cr.fy, cr.cx, cr.cy, cr.dist, cr.width, cr.height)
+        self.stereo = cam_mod.make_stereo_camera(left, right, jnp.asarray(cfg.T_lr))
+        self.rect = self.stereo.rect if cfg.flagDoUndistortion else left
+        self.T_rl = np.asarray(geo.se3_inverse(self.stereo.T_lr_rect if cfg.flagDoUndistortion else jnp.asarray(cfg.T_lr)))
+        self.fx = float(self.rect.fx)
+        self.fy = float(self.rect.fy)
+        self.cx = float(self.rect.cx)
+        self.cy = float(self.rect.cy)
+        self.baseline = float(jnp.linalg.norm(jnp.asarray(cfg.T_lr)[:3, 3]))
+
+        self.N = cfg.extractor.n_features
+        self.M = cfg.map.landmark_capacity
+        self.K = cfg.keyframe.n_max_keyframes_in_window + 1  # ring holds window
+
+        self.klt_params = KLT.KLTParams(
+            window_radius=cfg.tracker.window_size // 2,
+            levels=cfg.tracker.max_level,
+            iters=cfg.tracker.max_iter,
+            eps=cfg.tracker.eps,
+            min_eig=cfg.tracker.min_eig,
+            max_err=cfg.tracker.thres_error,
+            fb_thresh=cfg.tracker.thres_bidirection,
+        )
+        self.pose_params = PG.PoseGNParams(
+            max_iters=cfg.motion.pose_ba_iters,
+            huber_delta=cfg.motion.huber_delta,
+            reproj_thresh=cfg.motion.thres_poseba_error,
+            min_inlier_ratio=cfg.motion.min_inlier_ratio,
+        )
+        self.ba_params = BA.BAParams(
+            iters=cfg.motion.lba_iters,
+            n_fix=cfg.keyframe.n_fix,
+            huber_delta=cfg.motion.lba_huber,
+        )
+
+        self._first_frame = jax.jit(self._first_frame_impl)
+        self._steady_step = jax.jit(self._steady_step_impl)
+        self._keyframe_step = jax.jit(self._keyframe_step_impl)
+        self._rectify = jax.jit(lambda il, ir: cam_mod.rectify_stereo_images(self.stereo, il, ir))
+
+        self.state: StereoVOState | None = None
+        self.trajectory: list[np.ndarray] = []
+        self.kf_trajectory: list[tuple[int, np.ndarray]] = []
+        self.stats_log: list[dict] = []
+
+    # ------------------------------------------------------------------
+    # jit bodies
+    # ------------------------------------------------------------------
+
+    def init_state(self, img: jax.Array) -> StereoVOState:
+        return StereoVOState(
+            T_wc=jnp.eye(4, dtype=jnp.float32),
+            dT=jnp.eye(4, dtype=jnp.float32),
+            tracks=A.make_tracks(self.N),
+            tracks_r=jnp.zeros((self.N, 2), jnp.float32),
+            tracks_r_valid=jnp.zeros((self.N,), bool),
+            arena=A.make_arena(self.M),
+            ring=A.make_ring(self.K, self.N),
+            img_prev=img,
+            frame_id=jnp.asarray(0, jnp.int32),
+        )
+
+    def _stereo_match(self, img_l, img_r, pts_l, valid, depth_prior=None):
+        """Static stereo matching: prior-seeded bidirectional KLT along the
+        epipolar line (rectified -> prior = disparity shift)."""
+        if depth_prior is None:
+            disp = jnp.full(pts_l.shape[:1], 8.0)
+        else:
+            disp = self.fx * self.baseline / jnp.maximum(depth_prior, 0.5)
+        prior = pts_l - jnp.stack([disp, jnp.zeros_like(disp)], axis=-1)
+        pts_r, ok = KLT.track_bidirectional(img_l, img_r, pts_l, prior, valid, self.klt_params, fb_scale=5.0)
+        disp_out = pts_l[:, 0] - pts_r[:, 0]
+        # Rectified: matches must stay on the epipolar row, positive disparity.
+        row_ok = jnp.abs(pts_r[:, 1] - pts_l[:, 1]) < 2.0
+        ok = ok & row_ok & (disp_out > 0.3)
+        return pts_r, ok, disp_out
+
+    def _triangulate_stereo(self, pts_l, disp, ok):
+        """Rectified closed form: z = fx b / d; X from left pixel ray."""
+        z = self.fx * self.baseline / jnp.where(ok, jnp.maximum(disp, 1e-3), 1.0)
+        ok = ok & (z > self.cfg.map.min_depth) & (z < self.cfg.map.max_depth)
+        x = (pts_l[:, 0] - self.cx) / self.fx * z
+        y = (pts_l[:, 1] - self.cy) / self.fy * z
+        return jnp.stack([x, y, z], axis=-1), ok
+
+    def _replenish(self, img_l, img_r, tracks, arena, T_wc):
+        """Detect new features in empty bins, stereo-match, triangulate,
+        allocate arena slots, and merge into free track lanes."""
+        cfg = self.cfg
+        n_new_cap = self.N // 2
+        new_pts, new_ok = F.detect_features(
+            img_l,
+            tracks.pts,
+            tracks.valid,
+            gh=cfg.extractor.n_bins_v,
+            gw=cfg.extractor.n_bins_u,
+            n_max=n_new_cap,
+            fast_thresh=cfg.extractor.thres_fastscore,
+            score_min=cfg.extractor.score_min,
+        )
+        pts_r, ok_r, disp = self._stereo_match(img_l, img_r, new_pts, new_ok)
+        Xc, ok3 = self._triangulate_stereo(new_pts, disp, new_ok & ok_r)
+        Xw = geo.transform_points(T_wc, Xc)
+
+        # Allocate arena slots for valid new landmarks.
+        free_arena = ~arena.alive
+        slots, slot_ok = A.allocate_slots(free_arena, n_new_cap)
+        ok_new = ok3 & slot_ok
+        tgt = jnp.where(ok_new, slots, self.M)  # OOB -> dropped
+        arena = arena._replace(
+            Xw=arena.Xw.at[tgt].set(Xw, mode="drop"),
+            alive=arena.alive.at[tgt].set(True, mode="drop"),
+            tracked=arena.tracked.at[tgt].set(True, mode="drop"),
+            triangulated=arena.triangulated.at[tgt].set(True, mode="drop"),
+            bundled=arena.bundled.at[tgt].set(False, mode="drop"),
+            age=arena.age.at[tgt].set(1, mode="drop"),
+            last_pt=arena.last_pt.at[tgt].set(new_pts, mode="drop"),
+            inv_depth=arena.inv_depth.at[tgt].set(1.0 / jnp.maximum(Xc[:, 2], 1e-3), mode="drop"),
+            parallax_last=arena.parallax_last.at[tgt].set(0.0, mode="drop"),
+            parallax_max=arena.parallax_max.at[tgt].set(0.0, mode="drop"),
+        )
+
+        # Merge into free track lanes.
+        free_lane = ~tracks.valid
+        lanes, lane_ok = A.allocate_slots(free_lane, n_new_cap)
+        put = ok_new & lane_ok
+        lane_tgt = jnp.where(put, lanes, self.N)
+        tracks = tracks._replace(
+            pts=tracks.pts.at[lane_tgt].set(new_pts, mode="drop"),
+            lm_idx=tracks.lm_idx.at[lane_tgt].set(slots, mode="drop"),
+            valid=tracks.valid.at[lane_tgt].set(True, mode="drop"),
+            scale=tracks.scale.at[lane_tgt].set(1.0, mode="drop"),
+        )
+        pts_r_new = jnp.zeros((self.N, 2), jnp.float32).at[lane_tgt].set(pts_r, mode="drop")
+        pts_r_valid_new = jnp.zeros((self.N,), bool).at[lane_tgt].set(ok_new, mode="drop")
+        return tracks, arena, pts_r_new, pts_r_valid_new, jnp.sum(put)
+
+    def _first_frame_impl(self, img_l, img_r):
+        state = self.init_state(img_l)
+        tracks, arena, pts_r_new, pts_r_valid, n_new = self._replenish(
+            img_l, img_r, state.tracks, state.arena, state.T_wc
+        )
+        ring = A.ring_push(
+            state.ring,
+            jnp.eye(4, dtype=jnp.float32),  # T_cw = identity at start
+            0,
+            tracks.pts,
+            pts_r_new,
+            tracks.lm_idx,
+            tracks.valid,
+            pts_r_valid,
+        )
+        return state._replace(
+            tracks=tracks,
+            tracks_r=pts_r_new,
+            tracks_r_valid=pts_r_valid,
+            arena=arena,
+            ring=ring,
+            img_prev=img_l,
+            frame_id=jnp.asarray(1, jnp.int32),
+        )
+
+    def _steady_step_impl(self, state: StereoVOState, img_l, img_r):
+        cfg = self.cfg
+        tracks = state.tracks
+        arena = state.arena
+
+        # [2-3] constant-velocity prior and projected landmark priors.
+        T_wc_prior = state.T_wc @ state.dT
+        T_cw_prior = geo.se3_inverse(T_wc_prior)
+        T_cw_prev = geo.se3_inverse(state.T_wc)
+        lm_X = arena.Xw[tracks.lm_idx]
+        prior_pts, prior_depth = KLT.calc_prior(lm_X, T_cw_prior, self.fx, self.fy, self.cx, self.cy)
+        depth_prev = geo.transform_points(T_cw_prev, lm_X)[..., 2]
+        scale_prior = jnp.clip(depth_prev / jnp.maximum(prior_depth, 0.1), 0.25, 4.0)
+        has_3d = tracks.valid & arena.triangulated[tracks.lm_idx] & (prior_depth > 0.1)
+        prior_pts = jnp.where(has_3d[:, None], prior_pts, tracks.pts)
+
+        # [4] forward KLT with prior.
+        pts1, ok_track = KLT.track_with_prior(
+            state.img_prev, img_l, tracks.pts, prior_pts, tracks.valid, self.klt_params
+        )
+        # [4-1] scale-compensated refinement.
+        du0, dv0 = scharr_gradients(state.img_prev)
+        pts1_ref, ok_scale = KLT.track_with_scale(
+            state.img_prev, du0, dv0, img_l, tracks.pts, pts1, scale_prior, ok_track
+        )
+        pts1 = jnp.where(ok_scale[:, None], pts1_ref, pts1)
+
+        # [5] static stereo matching with depth prior.
+        pts_r1, ok_stereo, disp = self._stereo_match(
+            img_l, img_r, pts1, ok_track, jnp.where(has_3d, prior_depth, 10.0)
+        )
+
+        # [6] stereo pose-only GN. X0 = landmarks in previous left-cam frame.
+        X0 = geo.transform_points(T_cw_prev, lm_X)
+        gn_valid = ok_track & has_3d
+        T10_init = geo.se3_inverse(state.dT)
+        res = PG.pose_only_gn_stereo(
+            X0,
+            pts1,
+            pts_r1,
+            gn_valid,
+            gn_valid & ok_stereo,
+            self.fx,
+            self.fy,
+            self.cx,
+            self.cy,
+            jnp.asarray(self.T_rl),
+            T10_init,
+            self.pose_params,
+        )
+        # Fail-soft: keep the constant-velocity prior when GN rejects
+        # (the reference throws here; a running system can't).
+        T10 = jnp.where(res.ok, res.T10, T10_init)
+        dT_new = geo.se3_inverse(T10)
+        T_wc_new = state.T_wc @ dT_new
+
+        # [7] outlier gate: pose-GN reprojection inliers.
+        inliers = jnp.where(res.ok, res.inliers, gn_valid)
+        survived = ok_track & jnp.where(has_3d, inliers, True)
+
+        # [8] arena observation updates + parallax (rotation-compensated).
+        ray_prev = geo.transform_points(T_cw_prev, lm_X)
+        ray_curr_dir = jnp.stack(
+            [(pts1[:, 0] - self.cx) / self.fx, (pts1[:, 1] - self.cy) / self.fy, jnp.ones(self.N)],
+            axis=-1,
+        )
+        R10 = T10[:3, :3]
+        r0 = ray_prev / jnp.maximum(jnp.linalg.norm(ray_prev, axis=-1, keepdims=True), 1e-9)
+        r1 = ray_curr_dir @ R10  # rotate current ray back into prev frame
+        r1 = r1 / jnp.maximum(jnp.linalg.norm(r1, axis=-1, keepdims=True), 1e-9)
+        par = jnp.arccos(jnp.clip(jnp.sum(r0 * r1, axis=-1), -1.0, 1.0))
+
+        lm_tgt = jnp.where(survived, tracks.lm_idx, self.M)
+        arena = arena._replace(
+            tracked=jnp.zeros_like(arena.tracked).at[lm_tgt].set(True, mode="drop"),
+            age=arena.age.at[lm_tgt].add(1, mode="drop"),
+            last_pt=arena.last_pt.at[lm_tgt].set(pts1, mode="drop"),
+            parallax_last=arena.parallax_last.at[lm_tgt].set(par, mode="drop"),
+            parallax_max=arena.parallax_max.at[lm_tgt].max(par, mode="drop"),
+        )
+
+        tracks = tracks._replace(pts=pts1, valid=survived, scale=scale_prior)
+
+        # [10] replenishment.
+        tracks, arena, pts_r_new, pts_r_valid_new, n_new = self._replenish(
+            img_l, img_r, tracks, arena, T_wc_new
+        )
+        # Right observations: tracked lanes from stereo match, new lanes fresh.
+        tracks_r = jnp.where(pts_r_valid_new[:, None], pts_r_new, pts_r1)
+        tracks_r_valid = pts_r_valid_new | (survived & ok_stereo)
+
+        # [12] keyframe rule inputs (keyframes.cpp:217-303): overlap ratio vs
+        # last KF + translation/rotation thresholds.
+        head = state.ring.head
+        last_kf_lm = state.ring.lm_idx[head]
+        last_kf_ov = state.ring.obs_valid[head]
+        still = jnp.zeros((self.M + 1,), bool).at[jnp.where(tracks.valid, tracks.lm_idx, self.M)].set(True)
+        overlap = jnp.sum(still[jnp.where(last_kf_ov, last_kf_lm, self.M)] & last_kf_ov) / jnp.maximum(
+            jnp.sum(last_kf_ov), 1
+        )
+        T_kf_wc = geo.se3_inverse(state.ring.T_cw[head])
+        dT_kf = geo.se3_inverse(T_kf_wc) @ T_wc_new
+        trans = jnp.linalg.norm(dT_kf[:3, 3])
+        cos_r = jnp.clip((jnp.trace(dT_kf[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+        rot_deg = jnp.degrees(jnp.arccos(cos_r))
+        need_kf = (
+            (overlap < cfg.keyframe.thres_overlap_ratio)
+            | (trans > cfg.keyframe.thres_translation)
+            | (rot_deg > cfg.keyframe.thres_rotation)
+        )
+
+        stats = FrameStats(
+            n_tracked=jnp.sum(ok_track),
+            n_inliers=jnp.sum(survived),
+            n_new=n_new,
+            pose_ok=res.ok,
+            mean_reproj_err=res.mean_err,
+            overlap_ratio=overlap,
+            kf_translation=trans,
+            kf_rotation_deg=rot_deg,
+            need_keyframe=need_kf,
+        )
+
+        new_state = state._replace(
+            T_wc=T_wc_new,
+            dT=dT_new,
+            tracks=tracks,
+            tracks_r=tracks_r,
+            tracks_r_valid=tracks_r_valid,
+            arena=arena,
+            img_prev=img_l,
+            frame_id=state.frame_id + 1,
+        )
+        return new_state, stats
+
+    def _keyframe_step_impl(self, state: StereoVOState):
+        """Push the current frame as a keyframe and run windowed BA."""
+        T_cw = geo.se3_inverse(state.T_wc)
+        ring = A.ring_push(
+            state.ring,
+            T_cw,
+            state.frame_id,
+            state.tracks.pts,
+            state.tracks_r,
+            state.tracks.lm_idx,
+            state.tracks.valid,
+            state.tracks_r_valid & state.tracks.valid,
+        )
+        gathered = A.gather_ba_problem(ring, state.arena)
+        problem = BA.BAProblem(
+            T_cw=gathered["T_cw"],
+            Xw=state.arena.Xw,
+            pts=gathered["pts"],
+            mask=gathered["mask"],
+            pts_r=gathered["pts_r"],
+            mask_r=gathered["mask_r"],
+            kf_valid=gathered["kf_valid"],
+            lm_valid=gathered["lm_valid"],
+        )
+        res = BA.ba_solve(
+            problem, self.fx, self.fy, self.cx, self.cy, jnp.asarray(self.T_rl), self.ba_params
+        )
+        # Scatter refined poses back into ring slots.
+        order = A.ring_order(ring)
+        ring = ring._replace(T_cw=ring.T_cw.at[order].set(res.T_cw))
+        # The newest keyframe is the current frame: adopt its refined pose.
+        T_wc_new = geo.se3_inverse(ring.T_cw[ring.head])
+        touched = gathered["lm_valid"] & (jnp.sum(problem.mask, axis=1) >= 2)
+        arena = state.arena._replace(
+            Xw=res.Xw,
+            alive=state.arena.alive & ~res.killed,
+            bundled=state.arena.bundled | touched,
+        )
+        return state._replace(T_wc=T_wc_new, ring=ring, arena=arena), res.mean_err_px
+
+    # ------------------------------------------------------------------
+    # host driver
+    # ------------------------------------------------------------------
+
+    def track_stereo_images(self, img_l: np.ndarray, img_r: np.ndarray, timestamp: float = 0.0):
+        """Process one stereo pair; returns (T_wc [4,4] np, stats dict)."""
+        il = jnp.asarray(img_l, jnp.float32)
+        ir = jnp.asarray(img_r, jnp.float32)
+        if self.cfg.flagDoUndistortion:
+            il, ir = self._rectify(il, ir)
+
+        if self.state is None:
+            self.state = self._first_frame(il, ir)
+            self.trajectory.append(np.eye(4, dtype=np.float32))
+            self.kf_trajectory.append((0, np.eye(4, dtype=np.float32)))
+            stats = {"frame": 0, "keyframe": True, "n_tracked": 0}
+            self.stats_log.append(stats)
+            return np.eye(4, dtype=np.float32), stats
+
+        self.state, fstats = self._steady_step(self.state, il, ir)
+        need_kf = bool(fstats.need_keyframe)
+        ba_err = None
+        if need_kf:
+            self.state, ba_err = self._keyframe_step(self.state)
+            ba_err = float(ba_err)
+
+        T_wc = np.asarray(self.state.T_wc)
+        stats = {
+            "frame": int(self.state.frame_id),
+            "keyframe": need_kf,
+            "n_tracked": int(fstats.n_tracked),
+            "n_inliers": int(fstats.n_inliers),
+            "n_new": int(fstats.n_new),
+            "pose_ok": bool(fstats.pose_ok),
+            "mean_reproj_err": float(fstats.mean_reproj_err),
+            "overlap_ratio": float(fstats.overlap_ratio),
+            "ba_err": ba_err,
+        }
+        self.trajectory.append(T_wc)
+        if need_kf:
+            self.kf_trajectory.append((stats["frame"], T_wc))
+        self.stats_log.append(stats)
+        return T_wc, stats

@@ -69,7 +69,7 @@ class BAParams(NamedTuple):
 class BAResult(NamedTuple):
     T_cw: jax.Array  # [K, 4, 4] updated poses
     Xw: jax.Array  # [M, 3] updated points
-    lm_valid: jax.Array  # [M] survivors (kill-radius applied)
+    killed: jax.Array  # [M] landmarks beyond the kill radius (caller prunes)
     mean_err_px: jax.Array  # masked mean reprojection error after solve
     n_obs: jax.Array
 
@@ -316,7 +316,7 @@ def ba_solve(
 
     # Kill runaway landmarks (reference ||X|| > 3000 rule).
     dist = jnp.linalg.norm(Xr, axis=-1)
-    survived = problem.lm_valid & ~(lm_active & (dist > params.kill_dist))
+    killed = lm_active & (dist > params.kill_dist)
 
     # Final masked mean reprojection error (left rows).
     w, r, _, _ = build_observation_terms(
@@ -325,4 +325,4 @@ def ba_solve(
     rn = jnp.sqrt(jnp.sum(r[..., :2] ** 2, axis=-1))
     msum = jnp.sum(mask)
     mean_err = jnp.sum(rn * mask) / jnp.maximum(msum, 1)
-    return BAResult(T_cw_new, Xw_new, survived, mean_err, msum + jnp.sum(mask_r))
+    return BAResult(T_cw_new, Xw_new, killed, mean_err, msum + jnp.sum(mask_r))

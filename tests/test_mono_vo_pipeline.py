@@ -1,0 +1,75 @@
+"""End-to-end MonoVO pipeline test on a synthetic plane sequence."""
+
+import numpy as np
+import pytest
+
+from visual_odometry_ros_tpu.config import VOConfig
+from visual_odometry_ros_tpu.io.synthetic import TwoPlaneSequence, forward_trajectory
+from visual_odometry_ros_tpu.io.trajectory import ate_rmse
+from visual_odometry_ros_tpu.models.mono_vo import MonoVO
+
+
+def _mono_cfg():
+    cfg = VOConfig()
+    cfg.cam.fx = cfg.cam.fy = 500.0
+    cfg.cam.cx, cfg.cam.cy = 320.0, 240.0
+    cfg.cam.width, cfg.cam.height = 640, 480
+    cfg.extractor.n_features = 384
+    cfg.extractor.n_bins_u = 16
+    cfg.extractor.n_bins_v = 10
+    cfg.extractor.score_min = 10.0
+    cfg.extractor.thres_fastscore = 8.0
+    cfg.map.landmark_capacity = 2048
+    cfg.map.thres_parallax = 0.4
+    cfg.keyframe.n_max_keyframes_in_window = 5
+    cfg.keyframe.thres_translation = 1e9  # mono scale is arbitrary: use overlap
+    cfg.keyframe.thres_overlap_ratio = 0.75
+    cfg.tracker.max_level = 3
+    cfg.tracker.max_iter = 15
+    cfg.tracker.thres_sampson = 100.0
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def seq():
+    # Sideways translation component gives parallax for mono init; two-plane
+    # world avoids the planar-degenerate essential configuration.
+    world = TwoPlaneSequence(z0_a=9.0, z0_b=18.0)
+    poses = forward_trajectory(16, step=0.3, yaw_rate=0.001, lateral=0.12)
+    frames = [world.render(np.linalg.inv(T.astype(np.float64))) for T in poses]
+    return world, poses, frames
+
+
+def test_mono_vo_bootstrap_and_track(seq):
+    world, poses_gt, frames = seq
+    vo = MonoVO(_mono_cfg())
+    for f in frames:
+        vo.track_image(f)
+
+    phases = [s["phase"] for s in vo.stats_log]
+    assert "bootstrapped" in phases
+    boot_idx = phases.index("bootstrapped")
+    assert boot_idx < 8
+
+    # After bootstrap, steady tracking should hold (pose_ok, many inliers).
+    steady = [s for s in vo.stats_log if s["phase"] == "steady"]
+    assert len(steady) >= 5
+    ok_rate = np.mean([s["pose_ok"] for s in steady])
+    assert ok_rate > 0.8
+
+    # Mono trajectory is up-to-scale: evaluate with sim3 alignment over the
+    # post-bootstrap segment.
+    traj = np.stack(vo.trajectory)[boot_idx:]
+    gt = poses_gt[boot_idx:]
+    err = ate_rmse(traj, gt, align="sim3")
+    path_len = np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1))
+    assert err < 0.08 * path_len
+
+
+def test_mono_vo_triangulates_new_landmarks(seq):
+    world, poses_gt, frames = seq
+    vo = MonoVO(_mono_cfg())
+    for f in frames:
+        vo.track_image(f)
+    tri_counts = [s.get("n_triangulated", 0) for s in vo.stats_log if s.get("keyframe")]
+    assert sum(tri_counts) > 20  # keyframes mint new map points

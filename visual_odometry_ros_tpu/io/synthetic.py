@@ -118,6 +118,37 @@ class PlaneSequence:
         return self.render(T_cw_l), self.render(T_cw_r)
 
 
+class TwoPlaneSequence:
+    """Split-screen composite of two planes at different depths/slopes.
+
+    A single plane is the degenerate configuration for essential-matrix
+    initialization (plane-induced homography ambiguity) — mono bootstrap
+    needs non-planar structure, so the left image half sees plane A and the
+    right half plane B. Each half remains exactly consistent with its own
+    plane geometry.
+    """
+
+    def __init__(self, width=640, height=480, **kw):
+        za = kw.pop("z0_a", 9.0)
+        zb = kw.pop("z0_b", 18.0)
+        self.a = PlaneSequence(width=width, height=height, z0=za, sx=0.25, sy=0.1, seed=3, **kw)
+        self.b = PlaneSequence(width=width, height=height, z0=zb, sx=-0.35, sy=0.2, seed=11, **kw)
+        self.width, self.height = width, height
+        self.T_lr = self.a.T_lr
+
+    def render(self, T_cw: np.ndarray) -> np.ndarray:
+        ia = self.a.render(T_cw)
+        ib = self.b.render(T_cw)
+        out = ia.copy()
+        out[:, self.width // 2 :] = ib[:, self.width // 2 :]
+        return out
+
+    def stereo_pair(self, T_wc: np.ndarray):
+        T_cw_l = np.linalg.inv(T_wc)
+        T_cw_r = np.linalg.inv(T_wc @ self.T_lr.astype(np.float64))
+        return self.render(T_cw_l), self.render(T_cw_r)
+
+
 def forward_trajectory(n_frames: int, step=0.25, yaw_rate=0.002, lateral=0.0):
     """[n, 4, 4] T_wc poses: forward (+z) motion with gentle yaw."""
     import jax.numpy as jnp

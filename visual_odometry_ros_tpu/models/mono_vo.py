@@ -1,0 +1,549 @@
+"""Monocular visual-odometry pipeline — 3-phase state machine, jitted stages.
+
+Capability parity with the reference `MonoVO`
+(core/visual_odometry/mono_vo/mono_vo.{h,cpp}, trackImage mono_vo.cpp:496-1194):
+  phase FIRST  (:496-524)  — detect features only.
+  phase INIT   (:525-696)  — track from the first frame, 5-point essential,
+                             triangulate with ||t|| normalized to 1 (the mono
+                             scale convention, :606), create landmarks.
+  phase STEADY (:698-1019) — prior-seeded bidirectional KLT + scale-compensated
+                             re-track; pose-only BA on bundled/triangulated
+                             landmarks (:799-866); on failure 5-point fallback
+                             with translation rescaled to the previous step
+                             length (scale propagation, :908-949); Sampson
+                             gate (:955-965); replenishment (:976-1013);
+                             keyframe rule -> parallax-gated DLT triangulation
+                             of window landmarks + local BA (:1022-1128).
+
+TPU-first: the steady step is one jitted function; 5-point fallback and the
+keyframe/triangulation/BA path are separate jitted functions the host invokes
+on scalar flags — RANSAC never runs on the happy path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import camera as cam_mod
+from ..config import VOConfig
+from ..mapping import arena as A
+from ..ops import ba as BA
+from ..ops import depth_filter as DF
+from ..ops import epipolar as EP
+from ..ops import features as F
+from ..ops import klt as KLT
+from ..ops import pose_gn as PG
+from ..ops import triangulate as TRI
+from ..ops.pyramid import scharr_gradients
+from ..utils import geometry as geo
+
+
+class MonoVOState(NamedTuple):
+    T_wc: jax.Array  # [4, 4]
+    dT: jax.Array  # [4, 4] last frame motion
+    step_len: jax.Array  # [] scalar — last translation magnitude (scale prop)
+    tracks: A.TrackState
+    arena: A.LandmarkArena
+    ring: A.KeyframeRing
+    img_prev: jax.Array
+    img_first: jax.Array  # init-phase anchor image
+    init_pts0: jax.Array  # [N, 2] detection positions in the first frame
+    frame_id: jax.Array
+
+
+class MonoVO:
+    """Host driver; phases: 0=first, 1=init, 2=steady."""
+
+    def __init__(self, cfg: VOConfig):
+        self.cfg = cfg
+        c = cfg.cam
+        self.cam = cam_mod.make_camera(c.fx, c.fy, c.cx, c.cy, c.dist, c.width, c.height)
+        self.fx, self.fy = float(c.fx), float(c.fy)
+        self.cx, self.cy = float(c.cx), float(c.cy)
+        self.N = cfg.extractor.n_features
+        self.M = cfg.map.landmark_capacity
+        self.K = cfg.keyframe.n_max_keyframes_in_window + 1
+        self.klt_params = KLT.KLTParams(
+            window_radius=cfg.tracker.window_size // 2,
+            levels=cfg.tracker.max_level,
+            iters=cfg.tracker.max_iter,
+            eps=cfg.tracker.eps,
+            min_eig=cfg.tracker.min_eig,
+            max_err=cfg.tracker.thres_error,
+            fb_thresh=cfg.tracker.thres_bidirection,
+        )
+        self.pose_params = PG.PoseGNParams(
+            max_iters=cfg.motion.pose_ba_iters,
+            huber_delta=cfg.motion.huber_delta,
+            reproj_thresh=cfg.motion.thres_poseba_error,
+            min_inlier_ratio=cfg.motion.min_inlier_ratio,
+        )
+        self.ba_params = BA.BAParams(
+            iters=cfg.motion.lba_iters, n_fix=cfg.keyframe.n_fix, huber_delta=cfg.motion.lba_huber
+        )
+        self.T_rl_dummy = np.eye(4, dtype=np.float32)
+
+        self._first_frame = jax.jit(self._first_frame_impl)
+        self._init_track = jax.jit(self._init_track_impl)
+        self._init_bootstrap = jax.jit(self._init_bootstrap_impl)
+        self._steady_step = jax.jit(self._steady_step_impl)
+        self._fallback_5pt = jax.jit(self._fallback_5pt_impl)
+        self._keyframe_step = jax.jit(self._keyframe_step_impl)
+
+        self.phase = 0
+        self.state: MonoVOState | None = None
+        self.trajectory: list[np.ndarray] = []
+        self.kf_trajectory: list[tuple[int, np.ndarray]] = []
+        self.stats_log: list[dict] = []
+        self._key = jax.random.key(42)
+
+    # ------------------------------------------------------------------
+
+    def _detect(self, img, pts, valid, n_max):
+        cfg = self.cfg
+        return F.detect_features(
+            img,
+            pts,
+            valid,
+            gh=cfg.extractor.n_bins_v,
+            gw=cfg.extractor.n_bins_u,
+            n_max=n_max,
+            fast_thresh=cfg.extractor.thres_fastscore,
+            score_min=cfg.extractor.score_min,
+        )
+
+    def _first_frame_impl(self, img):
+        tracks = A.make_tracks(self.N)
+        pts, ok = self._detect(img, tracks.pts, tracks.valid, self.N)
+        tracks = tracks._replace(pts=pts, valid=ok)
+        return MonoVOState(
+            T_wc=jnp.eye(4, dtype=jnp.float32),
+            dT=jnp.eye(4, dtype=jnp.float32),
+            step_len=jnp.asarray(0.0, jnp.float32),
+            tracks=tracks,
+            arena=A.make_arena(self.M),
+            ring=A.make_ring(self.K, self.N),
+            img_prev=img,
+            img_first=img,
+            init_pts0=pts,
+            frame_id=jnp.asarray(1, jnp.int32),
+        )
+
+    def _init_track_impl(self, state: MonoVOState, img):
+        """Track first-frame detections into the current image; report median
+        pixel displacement (init readiness signal)."""
+        pts1, ok = KLT.track_bidirectional(
+            state.img_first, img, state.init_pts0, state.tracks.pts, state.tracks.valid, self.klt_params
+        )
+        disp = jnp.linalg.norm(pts1 - state.init_pts0, axis=-1)
+        med_disp = jnp.nanmedian(jnp.where(ok, disp, jnp.nan))
+        tracks = state.tracks._replace(pts=pts1, valid=ok)
+        new_state = state._replace(tracks=tracks, img_prev=img, frame_id=state.frame_id + 1)
+        return new_state, med_disp, jnp.sum(ok)
+
+    def _init_bootstrap_impl(self, state: MonoVOState, img, key):
+        """5-point init between first frame and current (mono_vo.cpp:525-696):
+        R, t from essential (||t||=1), DLT triangulation, landmark creation,
+        two keyframes pushed."""
+        pts0 = state.init_pts0
+        pts1 = state.tracks.pts
+        valid = state.tracks.valid
+        xn0 = cam_mod.pixel_to_normalized(self.cam, pts0)
+        xn1 = cam_mod.pixel_to_normalized(self.cam, pts1)
+        res = EP.estimate_essential_ransac(
+            xn0, xn1, valid, key, thresh_px=self.cfg.motion.thres_5p_error, focal=self.fx
+        )
+        T10 = geo.rt_to_se3(res.R_10, res.t_10)  # ||t|| = 1 (scale convention)
+        X0, X1 = TRI.triangulate(xn0, xn1, T10)
+        ok3 = (
+            res.inliers
+            & (X0[:, 2] > self.cfg.map.min_depth)
+            & (X1[:, 2] > 0.1)
+            & (X0[:, 2] < self.cfg.map.max_depth)
+        )
+
+        arena = A.make_arena(self.M)
+        slots, slot_ok = A.allocate_slots(~arena.alive, self.N)
+        ok_new = ok3 & slot_ok
+        tgt = jnp.where(ok_new, slots, self.M)
+        arena = arena._replace(
+            Xw=arena.Xw.at[tgt].set(X0, mode="drop"),  # world = first cam frame
+            alive=arena.alive.at[tgt].set(True, mode="drop"),
+            tracked=arena.tracked.at[tgt].set(True, mode="drop"),
+            triangulated=arena.triangulated.at[tgt].set(True, mode="drop"),
+            age=arena.age.at[tgt].set(2, mode="drop"),
+            last_pt=arena.last_pt.at[tgt].set(pts1, mode="drop"),
+            inv_depth=arena.inv_depth.at[tgt].set(1.0 / jnp.maximum(X0[:, 2], 1e-3), mode="drop"),
+        )
+        tracks = state.tracks._replace(lm_idx=slots, valid=ok_new)
+
+        ring = A.ring_push(
+            state.ring,
+            jnp.eye(4, dtype=jnp.float32),
+            0,
+            pts0,
+            jnp.zeros_like(pts0),
+            slots,
+            ok_new,
+            jnp.zeros((self.N,), bool),
+        )
+        ring = A.ring_push(
+            ring,
+            T10,  # T_cw of current frame (world = first frame)
+            state.frame_id,
+            pts1,
+            jnp.zeros_like(pts1),
+            slots,
+            ok_new,
+            jnp.zeros((self.N,), bool),
+        )
+        T_wc = geo.se3_inverse(T10)
+        # The bootstrap spans frame_id frames: the constant-velocity prior
+        # needs the per-frame motion, not the whole-span motion.
+        n_span = jnp.maximum(state.frame_id.astype(jnp.float32) - 1.0, 1.0)
+        dT = geo.se3_exp(geo.se3_log(T_wc) / n_span)
+        new_state = state._replace(
+            T_wc=T_wc,
+            dT=dT,
+            step_len=jnp.linalg.norm(dT[:3, 3]),
+            tracks=tracks,
+            arena=arena,
+            ring=ring,
+            img_prev=img,
+        )
+        return new_state, res.ok, jnp.sum(ok_new)
+
+    def _replenish(self, img, tracks, arena):
+        """New features -> untriangulated landmarks (depth comes later at KFs,
+        mono_vo.cpp:976-1013)."""
+        n_new_cap = self.N // 2
+        new_pts, new_ok = self._detect(img, tracks.pts, tracks.valid, n_new_cap)
+        slots, slot_ok = A.allocate_slots(~arena.alive, n_new_cap)
+        ok_new = new_ok & slot_ok
+        tgt = jnp.where(ok_new, slots, self.M)
+        arena = arena._replace(
+            alive=arena.alive.at[tgt].set(True, mode="drop"),
+            tracked=arena.tracked.at[tgt].set(True, mode="drop"),
+            triangulated=arena.triangulated.at[tgt].set(False, mode="drop"),
+            bundled=arena.bundled.at[tgt].set(False, mode="drop"),
+            age=arena.age.at[tgt].set(1, mode="drop"),
+            last_pt=arena.last_pt.at[tgt].set(new_pts, mode="drop"),
+            parallax_last=arena.parallax_last.at[tgt].set(0.0, mode="drop"),
+            parallax_max=arena.parallax_max.at[tgt].set(0.0, mode="drop"),
+        )
+        free_lane = ~tracks.valid
+        lanes, lane_ok = A.allocate_slots(free_lane, n_new_cap)
+        put = ok_new & lane_ok
+        lane_tgt = jnp.where(put, lanes, self.N)
+        tracks = tracks._replace(
+            pts=tracks.pts.at[lane_tgt].set(new_pts, mode="drop"),
+            lm_idx=tracks.lm_idx.at[lane_tgt].set(slots, mode="drop"),
+            valid=tracks.valid.at[lane_tgt].set(True, mode="drop"),
+            scale=tracks.scale.at[lane_tgt].set(1.0, mode="drop"),
+        )
+        return tracks, arena, jnp.sum(put)
+
+    def _steady_step_impl(self, state: MonoVOState, img):
+        cfg = self.cfg
+        tracks = state.tracks
+        arena = state.arena
+
+        T_wc_prior = state.T_wc @ state.dT
+        T_cw_prior = geo.se3_inverse(T_wc_prior)
+        T_cw_prev = geo.se3_inverse(state.T_wc)
+        lm_X = arena.Xw[tracks.lm_idx]
+        has_3d = tracks.valid & arena.triangulated[tracks.lm_idx]
+        prior_pts, prior_depth = KLT.calc_prior(lm_X, T_cw_prior, self.fx, self.fy, self.cx, self.cy)
+        depth_prev = geo.transform_points(T_cw_prev, lm_X)[..., 2]
+        scale_prior = jnp.clip(depth_prev / jnp.maximum(prior_depth, 0.1), 0.25, 4.0)
+        scale_prior = jnp.where(has_3d, scale_prior, 1.0)
+        prior_pts = jnp.where((has_3d & (prior_depth > 0.1))[:, None], prior_pts, tracks.pts)
+
+        # Bidirectional prior-seeded KLT (reference trackBidirectionWithPrior).
+        pts1, ok_track = KLT.track_bidirectional(
+            state.img_prev, img, tracks.pts, prior_pts, tracks.valid, self.klt_params, fb_scale=5.0
+        )
+        du0, dv0 = scharr_gradients(state.img_prev)
+        pts1_ref, ok_scale = KLT.track_with_scale(
+            state.img_prev, du0, dv0, img, tracks.pts, pts1, scale_prior, ok_track
+        )
+        pts1 = jnp.where(ok_scale[:, None], pts1_ref, pts1)
+
+        # Pose-only GN on triangulated landmarks with positive depth.
+        X0 = geo.transform_points(T_cw_prev, lm_X)
+        gn_valid = ok_track & has_3d & (X0[..., 2] > 0.1)
+        n_gn = jnp.sum(gn_valid)
+        T10_init = geo.se3_inverse(state.dT)
+        res = PG.pose_only_gn_mono(
+            X0, pts1, gn_valid, self.fx, self.fy, self.cx, self.cy, T10_init, self.pose_params
+        )
+        pose_ok = res.ok & (n_gn >= 10)
+        T10 = jnp.where(pose_ok, res.T10, T10_init)
+        dT_new = geo.se3_inverse(T10)
+        T_wc_new = state.T_wc @ dT_new
+
+        # Sampson gate on the estimated motion (mono_vo.cpp:955-965).
+        E = EP.essential_from_rt(T10[:3, :3], T10[:3, 3] / jnp.maximum(jnp.linalg.norm(T10[:3, 3]), 1e-9))
+        xn0 = cam_mod.pixel_to_normalized(self.cam, tracks.pts)
+        xn1 = cam_mod.pixel_to_normalized(self.cam, pts1)
+        sampson_px2 = EP.sampson_distance(E, xn0, xn1) * self.fx * self.fx
+        samp_ok = sampson_px2 < cfg.tracker.thres_sampson
+        inliers = jnp.where(pose_ok, res.inliers, gn_valid)
+        survived = ok_track & samp_ok & jnp.where(has_3d, inliers | ~pose_ok, True)
+
+        # Parallax update (rotation-compensated, landmark.cpp:107-134).
+        r0_dir = jnp.stack(
+            [
+                (tracks.pts[:, 0] - self.cx) / self.fx,
+                (tracks.pts[:, 1] - self.cy) / self.fy,
+                jnp.ones(self.N),
+            ],
+            axis=-1,
+        )
+        r1_dir = jnp.stack(
+            [(pts1[:, 0] - self.cx) / self.fx, (pts1[:, 1] - self.cy) / self.fy, jnp.ones(self.N)],
+            axis=-1,
+        )
+        r1_rot = r1_dir @ T10[:3, :3]
+        r0n = r0_dir / jnp.linalg.norm(r0_dir, axis=-1, keepdims=True)
+        r1n = r1_rot / jnp.maximum(jnp.linalg.norm(r1_rot, axis=-1, keepdims=True), 1e-9)
+        par = jnp.arccos(jnp.clip(jnp.sum(r0n * r1n, axis=-1), -1.0, 1.0))
+
+        lm_tgt = jnp.where(survived, tracks.lm_idx, self.M)
+        arena = arena._replace(
+            tracked=jnp.zeros_like(arena.tracked).at[lm_tgt].set(True, mode="drop"),
+            age=arena.age.at[lm_tgt].add(1, mode="drop"),
+            last_pt=arena.last_pt.at[lm_tgt].set(pts1, mode="drop"),
+            parallax_last=arena.parallax_last.at[lm_tgt].set(par, mode="drop"),
+            parallax_max=arena.parallax_max.at[lm_tgt].max(par, mode="drop"),
+        )
+        tracks = tracks._replace(pts=pts1, valid=survived, scale=scale_prior)
+        tracks, arena, n_new = self._replenish(img, tracks, arena)
+
+        # Keyframe rule.
+        head = state.ring.head
+        last_kf_lm = state.ring.lm_idx[head]
+        last_kf_ov = state.ring.obs_valid[head]
+        still = jnp.zeros((self.M + 1,), bool).at[
+            jnp.where(tracks.valid, tracks.lm_idx, self.M)
+        ].set(True)
+        overlap = jnp.sum(still[jnp.where(last_kf_ov, last_kf_lm, self.M)] & last_kf_ov) / jnp.maximum(
+            jnp.sum(last_kf_ov), 1
+        )
+        T_kf_wc = geo.se3_inverse(state.ring.T_cw[head])
+        dT_kf = geo.se3_inverse(T_kf_wc) @ T_wc_new
+        trans = jnp.linalg.norm(dT_kf[:3, 3])
+        cos_r = jnp.clip((jnp.trace(dT_kf[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+        rot_deg = jnp.degrees(jnp.arccos(cos_r))
+        need_kf = (
+            (overlap < cfg.keyframe.thres_overlap_ratio)
+            | (trans > cfg.keyframe.thres_translation)
+            | (rot_deg > cfg.keyframe.thres_rotation)
+        )
+
+        step_len = jnp.linalg.norm(dT_new[:3, 3])
+        new_state = state._replace(
+            T_wc=T_wc_new,
+            dT=dT_new,
+            step_len=jnp.where(pose_ok, step_len, state.step_len),
+            tracks=tracks,
+            arena=arena,
+            img_prev=img,
+            frame_id=state.frame_id + 1,
+        )
+        scalars = dict(
+            n_tracked=jnp.sum(ok_track),
+            n_gn=n_gn,
+            n_inliers=jnp.sum(survived),
+            n_new=n_new,
+            pose_ok=pose_ok,
+            mean_reproj_err=res.mean_err,
+            overlap_ratio=overlap,
+            need_keyframe=need_kf,
+        )
+        return new_state, scalars
+
+    def _fallback_5pt_impl(self, state_prev: MonoVOState, state_new: MonoVOState, key):
+        """5-point fallback with scale propagation (mono_vo.cpp:908-949):
+        recompute this frame's motion from 2D-2D geometry, rescale translation
+        to the previous step length."""
+        tracks_prev = state_prev.tracks
+        pts1 = state_new.tracks.pts  # same lanes: steady step preserved order
+        ok = tracks_prev.valid & state_new.tracks.valid
+        xn0 = cam_mod.pixel_to_normalized(self.cam, tracks_prev.pts)
+        xn1 = cam_mod.pixel_to_normalized(self.cam, pts1)
+        res = EP.estimate_essential_ransac(
+            xn0, xn1, ok, key, thresh_px=self.cfg.motion.thres_5p_error, focal=self.fx
+        )
+        t_scaled = res.t_10 * state_prev.step_len  # propagate scale
+        T10 = geo.rt_to_se3(res.R_10, t_scaled)
+        dT = geo.se3_inverse(T10)
+        T_wc = state_prev.T_wc @ dT
+        return state_new._replace(T_wc=T_wc, dT=dT), res.ok
+
+    def _keyframe_step_impl(self, state: MonoVOState):
+        """Push KF; parallax-gated DLT triangulation of untriangulated window
+        landmarks (mono_vo.cpp:1032-1077); local BA."""
+        T_cw = geo.se3_inverse(state.T_wc)
+        ring = A.ring_push(
+            state.ring,
+            T_cw,
+            state.frame_id,
+            state.tracks.pts,
+            jnp.zeros_like(state.tracks.pts),
+            state.tracks.lm_idx,
+            state.tracks.valid,
+            jnp.zeros((self.N,), bool),
+        )
+        arena = state.arena
+        gathered = A.gather_ba_problem(ring, arena)
+        mask = gathered["mask"]  # [M, K] ordered oldest->newest
+        T_cw_win = gathered["T_cw"]
+
+        # --- Triangulate landmarks with >=2 window obs, enough parallax ---
+        k_idx = jnp.arange(self.K)
+        first_k = jnp.argmax(mask, axis=1)  # first (oldest) observing KF
+        last_k = self.K - 1 - jnp.argmax(mask[:, ::-1], axis=1)  # newest
+        n_obs = jnp.sum(mask, axis=1)
+        cand = arena.alive & ~arena.triangulated & (n_obs >= 2) & (first_k < last_k)
+
+        p0 = jnp.take_along_axis(gathered["pts"], first_k[:, None, None], axis=1)[:, 0]
+        p1 = jnp.take_along_axis(gathered["pts"], last_k[:, None, None], axis=1)[:, 0]
+        T0 = T_cw_win[first_k]  # [M, 4, 4]
+        T1 = T_cw_win[last_k]
+        T_10 = T1 @ jax.vmap(geo.se3_inverse)(T0)
+        xn0 = cam_mod.pixel_to_normalized(self.cam, p0)
+        xn1 = cam_mod.pixel_to_normalized(self.cam, p1)
+
+        # Batched per-landmark two-view DLT with its own relative pose.
+        def tri_one(xn0_i, xn1_i, T10_i):
+            X0, X1 = TRI.triangulate(xn0_i[None], xn1_i[None], T10_i)
+            return X0[0], X1[0]
+
+        X0, X1 = jax.vmap(tri_one)(xn0, xn1, T_10)
+        # Parallax between the two rays (rotation-compensated).
+        r0 = jnp.concatenate([xn0, jnp.ones((self.M, 1))], axis=-1)
+        r1 = jnp.concatenate([xn1, jnp.ones((self.M, 1))], axis=-1)
+        r1w = jnp.einsum("mij,mj->mi", T_10[:, :3, :3].transpose(0, 2, 1), r1)
+        cosang = jnp.sum(r0 * r1w, axis=-1) / jnp.maximum(
+            jnp.linalg.norm(r0, axis=-1) * jnp.linalg.norm(r1w, axis=-1), 1e-9
+        )
+        par_ok = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0))) >= self.cfg.map.thres_parallax
+        # Reprojection check in both views (1 px, mono_vo.cpp:1070).
+        uv0 = cam_mod.project_to_pixel(self.cam, X0)
+        uv1 = cam_mod.project_to_pixel(self.cam, X1)
+        reproj_ok = (jnp.linalg.norm(uv0 - p0, axis=-1) < 2.0) & (jnp.linalg.norm(uv1 - p1, axis=-1) < 2.0)
+        depth_ok = (X0[:, 2] > self.cfg.map.min_depth) & (X1[:, 2] > 0.05) & (X0[:, 2] < self.cfg.map.max_depth)
+        tri_ok = cand & par_ok & depth_ok & reproj_ok
+        # World position: X0 is in first-observing-KF frame.
+        T_wc0 = jax.vmap(geo.se3_inverse)(T0)
+        Xw_new = jnp.einsum("mij,mj->mi", T_wc0[:, :3, :3], X0) + T_wc0[:, :3, 3]
+        arena = arena._replace(
+            Xw=jnp.where(tri_ok[:, None], Xw_new, arena.Xw),
+            triangulated=arena.triangulated | tri_ok,
+            inv_depth=jnp.where(tri_ok, 1.0 / jnp.maximum(X0[:, 2], 1e-3), arena.inv_depth),
+        )
+
+        # --- Local BA ---
+        problem = BA.BAProblem(
+            T_cw=T_cw_win,
+            Xw=arena.Xw,
+            pts=gathered["pts"],
+            mask=mask,
+            pts_r=gathered["pts_r"],
+            mask_r=gathered["mask_r"],
+            kf_valid=gathered["kf_valid"],
+            lm_valid=arena.alive & arena.triangulated,
+        )
+        res = BA.ba_solve(
+            problem, self.fx, self.fy, self.cx, self.cy, jnp.asarray(self.T_rl_dummy), self.ba_params
+        )
+        order = A.ring_order(ring)
+        ring = ring._replace(T_cw=ring.T_cw.at[order].set(res.T_cw))
+        T_wc_new = geo.se3_inverse(ring.T_cw[ring.head])
+        touched = (arena.alive & arena.triangulated) & (jnp.sum(problem.mask, axis=1) >= 2)
+        arena = arena._replace(
+            Xw=res.Xw,
+            alive=arena.alive & ~res.killed,
+            bundled=arena.bundled | touched,
+        )
+        n_tri = jnp.sum(tri_ok)
+        return state._replace(T_wc=T_wc_new, ring=ring, arena=arena), res.mean_err_px, n_tri
+
+    # ------------------------------------------------------------------
+
+    def track_image(self, img: np.ndarray, timestamp: float = 0.0):
+        im = jnp.asarray(img, jnp.float32)
+        if self.phase == 0:
+            self.state = self._first_frame(im)
+            self.phase = 1
+            self.trajectory.append(np.eye(4, dtype=np.float32))
+            stats = {"frame": 0, "phase": "first", "keyframe": False}
+            self.stats_log.append(stats)
+            return np.eye(4, dtype=np.float32), stats
+
+        if self.phase == 1:
+            self.state, med_disp, n_ok = self._init_track(self.state, im)
+            med_disp = float(med_disp)
+            stats = {
+                "frame": int(self.state.frame_id),
+                "phase": "init",
+                "median_disp": med_disp,
+                "n_tracked": int(n_ok),
+                "keyframe": False,
+            }
+            # Bootstrap when features have moved enough for a conditioned
+            # 5-point solve (displacement proxy for parallax).
+            if med_disp > 20.0 and int(n_ok) > 60:
+                self._key, sub = jax.random.split(self._key)
+                self.state, ok, n_lm = self._init_bootstrap(self.state, im, sub)
+                if bool(ok):
+                    self.phase = 2
+                    stats["phase"] = "bootstrapped"
+                    stats["n_landmarks"] = int(n_lm)
+                    stats["keyframe"] = True
+                    self.kf_trajectory.append((stats["frame"], np.asarray(self.state.T_wc)))
+            self.trajectory.append(np.asarray(self.state.T_wc))
+            self.stats_log.append(stats)
+            return np.asarray(self.state.T_wc), stats
+
+        prev_state = self.state
+        self.state, sc = self._steady_step(self.state, im)
+        pose_ok = bool(sc["pose_ok"])
+        used_fallback = False
+        if not pose_ok:
+            self._key, sub = jax.random.split(self._key)
+            self.state, fb_ok = self._fallback_5pt(prev_state, self.state, sub)
+            used_fallback = True
+        need_kf = bool(sc["need_keyframe"])
+        ba_err = None
+        n_tri = 0
+        if need_kf:
+            self.state, ba_err, n_tri = self._keyframe_step(self.state)
+            ba_err, n_tri = float(ba_err), int(n_tri)
+
+        T_wc = np.asarray(self.state.T_wc)
+        stats = {
+            "frame": int(self.state.frame_id),
+            "phase": "steady",
+            "keyframe": need_kf,
+            "n_tracked": int(sc["n_tracked"]),
+            "n_gn": int(sc["n_gn"]),
+            "n_inliers": int(sc["n_inliers"]),
+            "n_new": int(sc["n_new"]),
+            "pose_ok": pose_ok,
+            "used_fallback": used_fallback,
+            "mean_reproj_err": float(sc["mean_reproj_err"]),
+            "overlap_ratio": float(sc["overlap_ratio"]),
+            "ba_err": ba_err,
+            "n_triangulated": n_tri,
+        }
+        self.trajectory.append(T_wc)
+        if need_kf:
+            self.kf_trajectory.append((stats["frame"], T_wc))
+        self.stats_log.append(stats)
+        return T_wc, stats

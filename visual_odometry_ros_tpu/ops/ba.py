@@ -243,8 +243,7 @@ def back_substitute(Cinv, b, B, dx):
     return jnp.einsum("mab,mb->ma", Cinv, b - Btx, precision=_HI)
 
 
-@partial(jax.jit, static_argnames=("params",))
-def ba_solve(
+def ba_solve_impl(
     problem: BAProblem,
     fx,
     fy,
@@ -252,11 +251,24 @@ def ba_solve(
     cy,
     T_rl: jax.Array,
     params: BAParams = BAParams(),
+    axis_name: str | None = None,
 ) -> BAResult:
     """Run `params.iters` damped GN iterations of sliding-window BA.
 
     Mono: pass mask_r all-False and any T_rl (identity).
+
+    Distribution (SURVEY.md §7 / BASELINE.json config #5): when `axis_name`
+    is set, the landmark axis M is assumed sharded across that mesh axis
+    (poses/kf_valid replicated). Hessian assembly and the Schur terms are
+    computed shard-locally; only the tiny reduced camera system (A, a,
+    B Cinv B^T, B Cinv b — 6K x 6K) crosses the interconnect via psum. The
+    replicated solve is deterministic, so every device applies identical pose
+    updates; landmark back-substitution stays shard-local with zero
+    communication.
     """
+
+    def _psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
     K = problem.T_cw.shape[0]
     M = problem.Xw.shape[0]
 
@@ -286,16 +298,19 @@ def ba_solve(
             T_cr, Xr, problem.pts, mask, problem.pts_r, mask_r, fx, fy, cx, cy, T_rl, params.huber_delta
         )
         A, a, C, b, B = assemble_normal_blocks(w, r, Q, Rj)
-        S, s, Cinv, _ = schur_reduce(A, a, C, b, B, params.lam)
+        # Local damping/elimination, then one psum of the reduced system.
+        S_loc, s_loc, Cinv, _ = schur_reduce(A, a, C, b, B, params.lam)
+        S, s = _psum(S_loc), _psum(s_loc)
         dx = solve_reduced(S, s, opt_mask)
         dy = back_substitute(Cinv, b, B, dx)
         dy = jnp.where(lm_active[:, None], dy, 0.0)
 
         # Divergence guards: NaN or huge translation update -> skip this step
         # (reference throws; we mask — fail-soft keeps the jit graph pure).
+        dy_bad = _psum((~jnp.all(jnp.isfinite(dy))).astype(jnp.int32)) > 0
         bad = (
             ~jnp.all(jnp.isfinite(dx))
-            | ~jnp.all(jnp.isfinite(dy))
+            | dy_bad
             | (jnp.max(jnp.linalg.norm(dx[:, :3], axis=-1)) > params.max_trans_update)
         )
         dx = jnp.where(bad, 0.0, dx)
@@ -323,6 +338,9 @@ def ba_solve(
         T_cr, Xr, problem.pts, mask, problem.pts_r, mask_r, fx, fy, cx, cy, T_rl, 1e9
     )
     rn = jnp.sqrt(jnp.sum(r[..., :2] ** 2, axis=-1))
-    msum = jnp.sum(mask)
-    mean_err = jnp.sum(rn * mask) / jnp.maximum(msum, 1)
-    return BAResult(T_cw_new, Xw_new, killed, mean_err, msum + jnp.sum(mask_r))
+    msum = _psum(jnp.sum(mask))
+    mean_err = _psum(jnp.sum(rn * mask)) / jnp.maximum(msum, 1)
+    return BAResult(T_cw_new, Xw_new, killed, mean_err, msum + _psum(jnp.sum(mask_r)))
+
+
+ba_solve = partial(jax.jit, static_argnames=("params",))(ba_solve_impl)

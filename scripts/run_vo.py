@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""VO driver CLI — the framework's replacement for the reference ROS nodes
+(ros1/visual_odometry/node_{mono,stereo}_vo.cpp + launch files).
+
+Examples:
+  # KITTI stereo sequence with calib from the dataset
+  python scripts/run_vo.py --dataset kitti --root /data/kitti_odom --seq 00 \\
+      --mode stereo --out out/kitti00
+
+  # Synthetic smoke run (no dataset needed)
+  python scripts/run_vo.py --dataset synthetic --frames 30 --mode stereo --out out/syn
+
+  # EuRoC mono with a reference-format YAML config
+  python scripts/run_vo.py --dataset euroc --root /data/MH_01 --mode mono \\
+      --config config/euroc_mono.yaml --out out/mh01
+
+Outputs (reference trajectory-dump parity, mono_vo.cpp:64-127):
+  <out>/frame_poses.txt     13-column KITTI-format all-frame trajectory
+  <out>/keyframe_poses.txt  keyframe subset
+  <out>/stats.jsonl         per-frame statistics records
+  <out>/trajectory.png      top-down plot (with GT when available)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--dataset", choices=["kitti", "euroc", "synthetic"], required=True)
+    p.add_argument("--root", default=None, help="dataset root directory")
+    p.add_argument("--seq", default="00", help="KITTI sequence id")
+    p.add_argument("--mode", choices=["mono", "stereo"], default="stereo")
+    p.add_argument("--config", default=None, help="reference-format YAML config")
+    p.add_argument("--frames", type=int, default=None, help="limit frame count")
+    p.add_argument("--out", default="out/run")
+    p.add_argument("--platform", default=None, help="force jax platform (cpu/axon)")
+    p.add_argument("--quiet", action="store_true")
+    return p.parse_args(argv)
+
+
+def build_dataset(args):
+    from visual_odometry_ros_tpu.config import VOConfig, load_yaml
+
+    if args.dataset == "kitti":
+        from visual_odometry_ros_tpu.io.datasets import KittiOdometry
+
+        ds = KittiOdometry(args.root, args.seq)
+        cfg = load_yaml(args.config) if args.config else ds.config()
+        gt = ds.gt_poses
+        return ds, cfg, gt
+    if args.dataset == "euroc":
+        from visual_odometry_ros_tpu.io.datasets import EurocMav
+
+        ds = EurocMav(args.root, stereo=(args.mode == "stereo"))
+        if args.config is None:
+            raise SystemExit("--config YAML is required for EuRoC (distorted cameras)")
+        cfg = load_yaml(args.config)
+        gt = None if ds.gt is None else ds.gt[1]
+        return ds, cfg, gt
+    # synthetic
+    from visual_odometry_ros_tpu.io.synthetic import TwoPlaneSequence, forward_trajectory
+
+    n = args.frames or 30
+    world = TwoPlaneSequence()
+    poses = forward_trajectory(n, step=0.25, yaw_rate=0.002, lateral=0.1 if args.mode == "mono" else 0.0)
+
+    def it():
+        for i, T in enumerate(poses):
+            l, r = world.stereo_pair(T.astype(np.float64))
+            yield i * 0.1, l, r
+
+    cfg = VOConfig()
+    cfg.cam.fx = cfg.cam.fy = world.a.fx
+    cfg.cam.cx, cfg.cam.cy = world.a.cx, world.a.cy
+    cfg.cam.width, cfg.cam.height = world.width, world.height
+    cfg.cam_right = cfg.cam
+    cfg.T_lr = np.eye(4, dtype=np.float32)
+    cfg.T_lr[0, 3] = world.a.baseline
+    cfg.flagDoUndistortion = False
+    cfg.extractor.n_features = 512
+    cfg.extractor.score_min = 10.0
+    cfg.extractor.thres_fastscore = 8.0
+    cfg.map.landmark_capacity = 4096
+    cfg.keyframe.n_max_keyframes_in_window = 7
+    cfg.keyframe.thres_translation = 1.0
+    if args.mode == "mono":
+        cfg.map.thres_parallax = 0.4
+        cfg.keyframe.thres_translation = 1e9
+        cfg.keyframe.thres_overlap_ratio = 0.75
+    return it(), cfg, poses
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from visual_odometry_ros_tpu.io.statistics import ExecStats, FrameRecord, LandmarkStats, StatisticsLog
+    from visual_odometry_ros_tpu.io.trajectory import ate_rmse, save_kitti_trajectory
+    from visual_odometry_ros_tpu.io.visualize import plot_trajectory
+
+    ds, cfg, gt = build_dataset(args)
+
+    if args.mode == "stereo":
+        from visual_odometry_ros_tpu.models.stereo_vo import StereoVO
+
+        vo = StereoVO(cfg)
+    else:
+        from visual_odometry_ros_tpu.models.mono_vo import MonoVO
+
+        vo = MonoVO(cfg)
+
+    os.makedirs(args.out, exist_ok=True)
+    slog = StatisticsLog()
+    n_done = 0
+    t_start = time.perf_counter()
+    for ts, left, right in ds:
+        if args.frames is not None and n_done >= args.frames:
+            break
+        t0 = time.perf_counter()
+        if args.mode == "stereo":
+            T, stats = vo.track_stereo_images(left, right, ts)
+        else:
+            T, stats = vo.track_image(left, ts)
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        rec = FrameRecord(
+            frame=stats.get("frame", n_done),
+            timestamp=ts,
+            keyframe=bool(stats.get("keyframe")),
+            exec=ExecStats(time_total=dt_ms),
+            landmarks=LandmarkStats(
+                n_initial=stats.get("n_tracked", 0) or 0,
+                n_final=stats.get("n_inliers", 0) or 0,
+                n_new=stats.get("n_new", 0) or 0,
+            ),
+        )
+        slog.append(rec)
+        n_done += 1
+        if not args.quiet and n_done % 25 == 0:
+            print(f"[{n_done}] t={ts:.2f} pos={np.round(T[:3, 3], 2)} "
+                  f"tracks={stats.get('n_inliers')} {dt_ms:.1f}ms", flush=True)
+
+    wall = time.perf_counter() - t_start
+    if not vo.trajectory:
+        raise SystemExit(
+            f"no frames processed — check --root/--seq (dataset yielded 0 frames) "
+            f"or --frames ({args.frames})"
+        )
+    traj = np.stack(vo.trajectory)
+    save_kitti_trajectory(os.path.join(args.out, "frame_poses.txt"), traj)
+    save_kitti_trajectory(
+        os.path.join(args.out, "keyframe_poses.txt"),
+        [T for _, T in vo.kf_trajectory],
+        [i for i, _ in vo.kf_trajectory],
+    )
+    slog.save_jsonl(os.path.join(args.out, "stats.jsonl"))
+
+    summary = slog.summary()
+    summary["fps"] = n_done / wall
+    if gt is not None and len(gt) >= len(traj):
+        align = "se3" if args.mode == "stereo" else "sim3"
+        summary["ate_rmse"] = ate_rmse(traj, gt[: len(traj)], align=align)
+        if args.mode == "mono" and vo.kf_trajectory:
+            # Mono holds identity until bootstrap; report the tracked segment
+            # separately so init frames don't dominate the ATE.
+            b = vo.kf_trajectory[0][0]
+            if b + 2 < len(traj):
+                summary["ate_rmse_post_init"] = ate_rmse(traj[b:], gt[b : len(traj)], align=align)
+        plot_trajectory(traj, gt[: len(traj)], out_path=os.path.join(args.out, "trajectory.png"))
+    else:
+        plot_trajectory(traj, out_path=os.path.join(args.out, "trajectory.png"))
+
+    print({k: (round(v, 4) if isinstance(v, float) else v) for k, v in summary.items()})
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -194,15 +194,18 @@ def gather_ba_problem(ring: KeyframeRing, arena: LandmarkArena, M_cap: int | Non
     lm = ring.lm_idx[order]  # [K, N]
     ov = ring.obs_valid[order] & kf_valid[:, None]
     ovr = ring.obs_valid_r[order] & kf_valid[:, None]
-    # Dead lanes scatter out of bounds and are dropped — no clobbering.
-    lm_l = jnp.where(ov, lm, M)
-    lm_r = jnp.where(ovr, lm, M)
-
+    # Flattened single-index scatters (multi-index scatters crash the TPU
+    # XLA scatter emitter); dead lanes go out of bounds and are dropped.
     kk = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], lm.shape)
-    pts_mk = pts_mk.at[lm_l, kk].set(ring.pts[order], mode="drop")
-    pts_r_mk = pts_r_mk.at[lm_r, kk].set(ring.pts_r[order], mode="drop")
-    mask_mk = mask_mk.at[lm_l, kk].set(True, mode="drop")
-    mask_r_mk = mask_r_mk.at[lm_r, kk].set(True, mode="drop")
+    flat_l = jnp.where(ov, lm * K + kk, M * K).reshape(-1)
+    flat_r = jnp.where(ovr, lm * K + kk, M * K).reshape(-1)
+    pts_flat = ring.pts[order].reshape(-1, 2)
+    pts_r_flat = ring.pts_r[order].reshape(-1, 2)
+
+    pts_mk = pts_mk.reshape(M * K, 2).at[flat_l].set(pts_flat, mode="drop").reshape(M, K, 2)
+    pts_r_mk = pts_r_mk.reshape(M * K, 2).at[flat_r].set(pts_r_flat, mode="drop").reshape(M, K, 2)
+    mask_mk = mask_mk.reshape(M * K).at[flat_l].set(True, mode="drop").reshape(M, K)
+    mask_r_mk = mask_r_mk.reshape(M * K).at[flat_r].set(True, mode="drop").reshape(M, K)
 
     return dict(
         T_cw=T_cw,

@@ -195,15 +195,19 @@ def schur_reduce(A, a, C, b, B, lam):
     Returns (S [K,K,6,6], s [K,6], Cinv [M,3,3]).
     """
     K = A.shape[0]
-    A = A.at[:, jnp.arange(6), jnp.arange(6)].mul(1.0 + lam)
-    C = C.at[:, jnp.arange(3), jnp.arange(3)].mul(1.0 + lam)
+    # Diagonal ops as mask arithmetic (multi-index scatters crash the TPU
+    # XLA scatter emitter and fuse worse anyway).
+    eye6 = jnp.eye(6, dtype=A.dtype)
+    eye3 = jnp.eye(3, dtype=C.dtype)
+    A = A + lam * A * eye6
+    C = C + lam * C * eye3
     # Regularize unobserved landmark blocks so Cinv stays finite.
-    C = C + 1e-6 * jnp.eye(3, dtype=C.dtype)
+    C = C + 1e-6 * eye3
     Cinv = _inv3x3(C)
     BCinv = jnp.einsum("mkab,mbc->mkac", B, Cinv, precision=_HI)  # [M, K, 6, 3]
     S_off = jnp.einsum("mjac,mkbc->jkab", BCinv, B, precision=_HI)  # [K, K, 6, 6]
-    S = -S_off
-    S = S.at[jnp.arange(K), jnp.arange(K)].add(A)
+    eyeK = jnp.eye(K, dtype=A.dtype)
+    S = -S_off + eyeK[:, :, None, None] * A[:, None, :, :]
     sb = jnp.einsum("mkac,mc->ka", BCinv, b, precision=_HI)
     s = a - sb
     return S, s, Cinv, BCinv

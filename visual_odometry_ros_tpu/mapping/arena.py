@@ -121,6 +121,35 @@ def make_ring(K: int, N: int) -> KeyframeRing:
     )
 
 
+def onehot_update(dest: jax.Array, idx: jax.Array, mask: jax.Array, vals=None, op: str = "set"):
+    """Masked scatter with UNIQUE indices, expressed as one-hot contraction.
+
+    dest: [M] or [M, D]; idx: [n] int32; mask: [n] bool (False lanes ignored).
+    op in {"set", "or", "add", "max"}. Rationale: TPU XLA's scatter emitter
+    crashes when several scatters sharing producers get fused (variadic
+    scatter, scatter_emitter.cc check), and scatter is VPU-serial anyway —
+    a one-hot matmul rides the MXU and fuses cleanly. Requires idx unique
+    among masked lanes (slot allocations guarantee this).
+    """
+    M = dest.shape[0]
+    oh = (idx[:, None] == jnp.arange(M, dtype=idx.dtype)[None, :]) & mask[:, None]  # [n, M]
+    hit = jnp.any(oh, axis=0)
+    if op == "or":
+        return dest | hit
+    ohf = oh.astype(jnp.float32)
+    if vals.ndim == 1:
+        scat = jnp.einsum("nm,n->m", ohf, vals.astype(jnp.float32))
+    else:
+        scat = jnp.einsum("nm,nd->md", ohf, vals.astype(jnp.float32))
+    scat = scat.astype(dest.dtype)
+    if op == "add":
+        return dest + scat
+    hit_b = hit if dest.ndim == 1 else hit[:, None]
+    if op == "max":
+        return jnp.where(hit_b, jnp.maximum(dest, scat), dest)
+    return jnp.where(hit_b, scat, dest)  # set
+
+
 def allocate_slots(free: jax.Array, n_request: int):
     """Assign the first `n_request` free slots (cumsum ranking, jit-static).
 
@@ -130,12 +159,10 @@ def allocate_slots(free: jax.Array, n_request: int):
     """
     M = free.shape[0]
     rank = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free slots
-    hit = free & (rank < n_request)
-    slot_of_rank = (
-        jnp.zeros((n_request,), jnp.int32)
-        .at[jnp.where(hit, rank, n_request)]
-        .set(jnp.arange(M, dtype=jnp.int32), mode="drop")
-    )
+    # Scatter-free inverse permutation: rank r -> slot index, via one-hot
+    # argmax (see onehot_update for the TPU scatter-emitter rationale).
+    oh = (rank[None, :] == jnp.arange(n_request, dtype=jnp.int32)[:, None]) & free[None, :]
+    slot_of_rank = jnp.argmax(oh, axis=1).astype(jnp.int32)
     n_free = jnp.sum(free.astype(jnp.int32))
     ok = jnp.arange(n_request) < n_free
     return slot_of_rank, ok
@@ -186,26 +213,28 @@ def gather_ba_problem(ring: KeyframeRing, arena: LandmarkArena, M_cap: int | Non
     T_cw = ring.T_cw[order]
     kf_valid = ring.valid[order]
 
-    pts_mk = jnp.zeros((M, K, 2), jnp.float32)
-    mask_mk = jnp.zeros((M, K), bool)
-    pts_r_mk = jnp.zeros((M, K, 2), jnp.float32)
-    mask_r_mk = jnp.zeros((M, K), bool)
-
     lm = ring.lm_idx[order]  # [K, N]
     ov = ring.obs_valid[order] & kf_valid[:, None]
     ovr = ring.obs_valid_r[order] & kf_valid[:, None]
-    # Flattened single-index scatters (multi-index scatters crash the TPU
-    # XLA scatter emitter); dead lanes go out of bounds and are dropped.
-    kk = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[:, None], lm.shape)
-    flat_l = jnp.where(ov, lm * K + kk, M * K).reshape(-1)
-    flat_r = jnp.where(ovr, lm * K + kk, M * K).reshape(-1)
-    pts_flat = ring.pts[order].reshape(-1, 2)
-    pts_r_flat = ring.pts_r[order].reshape(-1, 2)
+    pts_o = ring.pts[order]
+    pts_r_o = ring.pts_r[order]
 
-    pts_mk = pts_mk.reshape(M * K, 2).at[flat_l].set(pts_flat, mode="drop").reshape(M, K, 2)
-    pts_r_mk = pts_r_mk.reshape(M * K, 2).at[flat_r].set(pts_r_flat, mode="drop").reshape(M, K, 2)
-    mask_mk = mask_mk.reshape(M * K).at[flat_l].set(True, mode="drop").reshape(M, K)
-    mask_r_mk = mask_r_mk.reshape(M * K).at[flat_r].set(True, mode="drop").reshape(M, K)
+    # Scatter-free build: per keyframe one [N, M] one-hot contraction (lane
+    # indices are unique within a KF). See onehot_update for why scatter is
+    # avoided on TPU.
+    arange_m = jnp.arange(M, dtype=lm.dtype)
+    pts_cols, mask_cols, pts_r_cols, mask_r_cols = [], [], [], []
+    for k in range(K):
+        oh_l = (lm[k][:, None] == arange_m[None, :]) & ov[k][:, None]  # [N, M]
+        oh_r = (lm[k][:, None] == arange_m[None, :]) & ovr[k][:, None]
+        mask_cols.append(jnp.any(oh_l, axis=0))
+        mask_r_cols.append(jnp.any(oh_r, axis=0))
+        pts_cols.append(jnp.einsum("nm,nd->md", oh_l.astype(jnp.float32), pts_o[k]))
+        pts_r_cols.append(jnp.einsum("nm,nd->md", oh_r.astype(jnp.float32), pts_r_o[k]))
+    pts_mk = jnp.stack(pts_cols, axis=1)  # [M, K, 2]
+    pts_r_mk = jnp.stack(pts_r_cols, axis=1)
+    mask_mk = jnp.stack(mask_cols, axis=1)  # [M, K]
+    mask_r_mk = jnp.stack(mask_r_cols, axis=1)
 
     return dict(
         T_cw=T_cw,

@@ -169,15 +169,14 @@ class MonoVO:
         arena = A.make_arena(self.M)
         slots, slot_ok = A.allocate_slots(~arena.alive, self.N)
         ok_new = ok3 & slot_ok
-        tgt = jnp.where(ok_new, slots, self.M)
         arena = arena._replace(
-            Xw=arena.Xw.at[tgt].set(X0, mode="drop"),  # world = first cam frame
-            alive=arena.alive.at[tgt].set(True, mode="drop"),
-            tracked=arena.tracked.at[tgt].set(True, mode="drop"),
-            triangulated=arena.triangulated.at[tgt].set(True, mode="drop"),
-            age=arena.age.at[tgt].set(2, mode="drop"),
-            last_pt=arena.last_pt.at[tgt].set(pts1, mode="drop"),
-            inv_depth=arena.inv_depth.at[tgt].set(1.0 / jnp.maximum(X0[:, 2], 1e-3), mode="drop"),
+            Xw=A.onehot_update(arena.Xw, slots, ok_new, X0),  # world = first cam frame
+            alive=A.onehot_update(arena.alive, slots, ok_new, op="or"),
+            tracked=A.onehot_update(arena.tracked, slots, ok_new, op="or"),
+            triangulated=A.onehot_update(arena.triangulated, slots, ok_new, op="or"),
+            age=A.onehot_update(arena.age, slots, ok_new, jnp.full((self.N,), 2, jnp.int32)),
+            last_pt=A.onehot_update(arena.last_pt, slots, ok_new, pts1),
+            inv_depth=A.onehot_update(arena.inv_depth, slots, ok_new, 1.0 / jnp.maximum(X0[:, 2], 1e-3)),
         )
         tracks = state.tracks._replace(lm_idx=slots, valid=ok_new)
 
@@ -224,26 +223,26 @@ class MonoVO:
         new_pts, new_ok = self._detect(img, tracks.pts, tracks.valid, n_new_cap)
         slots, slot_ok = A.allocate_slots(~arena.alive, n_new_cap)
         ok_new = new_ok & slot_ok
-        tgt = jnp.where(ok_new, slots, self.M)
+        zeros_n = jnp.zeros((n_new_cap,), jnp.float32)
+        false_n = jnp.zeros((n_new_cap,), bool)
         arena = arena._replace(
-            alive=arena.alive.at[tgt].set(True, mode="drop"),
-            tracked=arena.tracked.at[tgt].set(True, mode="drop"),
-            triangulated=arena.triangulated.at[tgt].set(False, mode="drop"),
-            bundled=arena.bundled.at[tgt].set(False, mode="drop"),
-            age=arena.age.at[tgt].set(1, mode="drop"),
-            last_pt=arena.last_pt.at[tgt].set(new_pts, mode="drop"),
-            parallax_last=arena.parallax_last.at[tgt].set(0.0, mode="drop"),
-            parallax_max=arena.parallax_max.at[tgt].set(0.0, mode="drop"),
+            alive=A.onehot_update(arena.alive, slots, ok_new, op="or"),
+            tracked=A.onehot_update(arena.tracked, slots, ok_new, op="or"),
+            triangulated=A.onehot_update(arena.triangulated, slots, ok_new, false_n),
+            bundled=A.onehot_update(arena.bundled, slots, ok_new, false_n),
+            age=A.onehot_update(arena.age, slots, ok_new, jnp.ones((n_new_cap,), jnp.int32)),
+            last_pt=A.onehot_update(arena.last_pt, slots, ok_new, new_pts),
+            parallax_last=A.onehot_update(arena.parallax_last, slots, ok_new, zeros_n),
+            parallax_max=A.onehot_update(arena.parallax_max, slots, ok_new, zeros_n),
         )
         free_lane = ~tracks.valid
         lanes, lane_ok = A.allocate_slots(free_lane, n_new_cap)
         put = ok_new & lane_ok
-        lane_tgt = jnp.where(put, lanes, self.N)
         tracks = tracks._replace(
-            pts=tracks.pts.at[lane_tgt].set(new_pts, mode="drop"),
-            lm_idx=tracks.lm_idx.at[lane_tgt].set(slots, mode="drop"),
-            valid=tracks.valid.at[lane_tgt].set(True, mode="drop"),
-            scale=tracks.scale.at[lane_tgt].set(1.0, mode="drop"),
+            pts=A.onehot_update(tracks.pts, lanes, put, new_pts),
+            lm_idx=A.onehot_update(tracks.lm_idx, lanes, put, slots),
+            valid=A.onehot_update(tracks.valid, lanes, put, op="or"),
+            scale=A.onehot_update(tracks.scale, lanes, put, jnp.ones((n_new_cap,), jnp.float32)),
         )
         return tracks, arena, jnp.sum(put)
 
@@ -313,13 +312,18 @@ class MonoVO:
         r1n = r1_rot / jnp.maximum(jnp.linalg.norm(r1_rot, axis=-1, keepdims=True), 1e-9)
         par = jnp.arccos(jnp.clip(jnp.sum(r0n * r1n, axis=-1), -1.0, 1.0))
 
-        lm_tgt = jnp.where(survived, tracks.lm_idx, self.M)
+        tracked_now = A.onehot_update(
+            jnp.zeros_like(arena.tracked), tracks.lm_idx, survived, op="or"
+        )
+        new_par_last = A.onehot_update(arena.parallax_last, tracks.lm_idx, survived, par)
         arena = arena._replace(
-            tracked=jnp.zeros_like(arena.tracked).at[lm_tgt].set(True, mode="drop"),
-            age=arena.age.at[lm_tgt].add(1, mode="drop"),
-            last_pt=arena.last_pt.at[lm_tgt].set(pts1, mode="drop"),
-            parallax_last=arena.parallax_last.at[lm_tgt].set(par, mode="drop"),
-            parallax_max=arena.parallax_max.at[lm_tgt].max(par, mode="drop"),
+            tracked=tracked_now,
+            age=A.onehot_update(arena.age, tracks.lm_idx, survived, jnp.ones((self.N,), jnp.int32), op="add"),
+            last_pt=A.onehot_update(arena.last_pt, tracks.lm_idx, survived, pts1),
+            parallax_last=new_par_last,
+            parallax_max=jnp.where(
+                tracked_now, jnp.maximum(arena.parallax_max, new_par_last), arena.parallax_max
+            ),
         )
         tracks = tracks._replace(pts=pts1, valid=survived, scale=scale_prior)
         tracks, arena, n_new = self._replenish(img, tracks, arena)
@@ -328,9 +332,8 @@ class MonoVO:
         head = state.ring.head
         last_kf_lm = state.ring.lm_idx[head]
         last_kf_ov = state.ring.obs_valid[head]
-        still = jnp.zeros((self.M + 1,), bool).at[
-            jnp.where(tracks.valid, tracks.lm_idx, self.M)
-        ].set(True)
+        still = A.onehot_update(jnp.zeros((self.M,), bool), tracks.lm_idx, tracks.valid, op="or")
+        still = jnp.concatenate([still, jnp.zeros((1,), bool)])
         overlap = jnp.sum(still[jnp.where(last_kf_ov, last_kf_lm, self.M)] & last_kf_ov) / jnp.maximum(
             jnp.sum(last_kf_ov), 1
         )
@@ -463,7 +466,9 @@ class MonoVO:
             problem, self.fx, self.fy, self.cx, self.cy, jnp.asarray(self.T_rl_dummy), self.ba_params
         )
         order = A.ring_order(ring)
-        ring = ring._replace(T_cw=ring.T_cw.at[order].set(res.T_cw))
+        # Permutation write-back as one-hot einsum (scatter-free on TPU).
+        perm = (order[:, None] == jnp.arange(ring.capacity, dtype=order.dtype)[None, :]).astype(jnp.float32)
+        ring = ring._replace(T_cw=jnp.einsum("pk,pij->kij", perm, res.T_cw))
         T_wc_new = geo.se3_inverse(ring.T_cw[ring.head])
         touched = (arena.alive & arena.triangulated) & (jnp.sum(problem.mask, axis=1) >= 2)
         arena = arena._replace(

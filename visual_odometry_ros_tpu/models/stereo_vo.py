@@ -183,37 +183,38 @@ class StereoVO:
         Xc, ok3 = self._triangulate_stereo(new_pts, disp, new_ok & ok_r)
         Xw = geo.transform_points(T_wc, Xc)
 
-        # Allocate arena slots for valid new landmarks.
+        # Allocate arena slots for valid new landmarks. All writes go through
+        # one-hot contractions (A.onehot_update) — see that docstring for the
+        # TPU scatter-emitter rationale.
         free_arena = ~arena.alive
         slots, slot_ok = A.allocate_slots(free_arena, n_new_cap)
         ok_new = ok3 & slot_ok
-        tgt = jnp.where(ok_new, slots, self.M)  # OOB -> dropped
+        zeros_n = jnp.zeros((n_new_cap,), jnp.float32)
         arena = arena._replace(
-            Xw=arena.Xw.at[tgt].set(Xw, mode="drop"),
-            alive=arena.alive.at[tgt].set(True, mode="drop"),
-            tracked=arena.tracked.at[tgt].set(True, mode="drop"),
-            triangulated=arena.triangulated.at[tgt].set(True, mode="drop"),
-            bundled=arena.bundled.at[tgt].set(False, mode="drop"),
-            age=arena.age.at[tgt].set(1, mode="drop"),
-            last_pt=arena.last_pt.at[tgt].set(new_pts, mode="drop"),
-            inv_depth=arena.inv_depth.at[tgt].set(1.0 / jnp.maximum(Xc[:, 2], 1e-3), mode="drop"),
-            parallax_last=arena.parallax_last.at[tgt].set(0.0, mode="drop"),
-            parallax_max=arena.parallax_max.at[tgt].set(0.0, mode="drop"),
+            Xw=A.onehot_update(arena.Xw, slots, ok_new, Xw),
+            alive=A.onehot_update(arena.alive, slots, ok_new, op="or"),
+            tracked=A.onehot_update(arena.tracked, slots, ok_new, op="or"),
+            triangulated=A.onehot_update(arena.triangulated, slots, ok_new, op="or"),
+            bundled=A.onehot_update(arena.bundled, slots, ok_new, jnp.zeros((n_new_cap,), bool)),
+            age=A.onehot_update(arena.age, slots, ok_new, jnp.ones((n_new_cap,), jnp.int32)),
+            last_pt=A.onehot_update(arena.last_pt, slots, ok_new, new_pts),
+            inv_depth=A.onehot_update(arena.inv_depth, slots, ok_new, 1.0 / jnp.maximum(Xc[:, 2], 1e-3)),
+            parallax_last=A.onehot_update(arena.parallax_last, slots, ok_new, zeros_n),
+            parallax_max=A.onehot_update(arena.parallax_max, slots, ok_new, zeros_n),
         )
 
         # Merge into free track lanes.
         free_lane = ~tracks.valid
         lanes, lane_ok = A.allocate_slots(free_lane, n_new_cap)
         put = ok_new & lane_ok
-        lane_tgt = jnp.where(put, lanes, self.N)
         tracks = tracks._replace(
-            pts=tracks.pts.at[lane_tgt].set(new_pts, mode="drop"),
-            lm_idx=tracks.lm_idx.at[lane_tgt].set(slots, mode="drop"),
-            valid=tracks.valid.at[lane_tgt].set(True, mode="drop"),
-            scale=tracks.scale.at[lane_tgt].set(1.0, mode="drop"),
+            pts=A.onehot_update(tracks.pts, lanes, put, new_pts),
+            lm_idx=A.onehot_update(tracks.lm_idx, lanes, put, slots),
+            valid=A.onehot_update(tracks.valid, lanes, put, op="or"),
+            scale=A.onehot_update(tracks.scale, lanes, put, jnp.ones((n_new_cap,), jnp.float32)),
         )
-        pts_r_new = jnp.zeros((self.N, 2), jnp.float32).at[lane_tgt].set(pts_r, mode="drop")
-        pts_r_valid_new = jnp.zeros((self.N,), bool).at[lane_tgt].set(ok_new, mode="drop")
+        pts_r_new = A.onehot_update(jnp.zeros((self.N, 2), jnp.float32), lanes, put, pts_r)
+        pts_r_valid_new = A.onehot_update(jnp.zeros((self.N,), bool), lanes, put, op="or")
         return tracks, arena, pts_r_new, pts_r_valid_new, jnp.sum(put)
 
     def _first_frame_impl(self, img_l, img_r):
@@ -313,13 +314,18 @@ class StereoVO:
         r1 = r1 / jnp.maximum(jnp.linalg.norm(r1, axis=-1, keepdims=True), 1e-9)
         par = jnp.arccos(jnp.clip(jnp.sum(r0 * r1, axis=-1), -1.0, 1.0))
 
-        lm_tgt = jnp.where(survived, tracks.lm_idx, self.M)
+        tracked_now = A.onehot_update(
+            jnp.zeros_like(arena.tracked), tracks.lm_idx, survived, op="or"
+        )
+        new_par_last = A.onehot_update(arena.parallax_last, tracks.lm_idx, survived, par)
         arena = arena._replace(
-            tracked=jnp.zeros_like(arena.tracked).at[lm_tgt].set(True, mode="drop"),
-            age=arena.age.at[lm_tgt].add(1, mode="drop"),
-            last_pt=arena.last_pt.at[lm_tgt].set(pts1, mode="drop"),
-            parallax_last=arena.parallax_last.at[lm_tgt].set(par, mode="drop"),
-            parallax_max=arena.parallax_max.at[lm_tgt].max(par, mode="drop"),
+            tracked=tracked_now,
+            age=A.onehot_update(arena.age, tracks.lm_idx, survived, jnp.ones((self.N,), jnp.int32), op="add"),
+            last_pt=A.onehot_update(arena.last_pt, tracks.lm_idx, survived, pts1),
+            parallax_last=new_par_last,
+            parallax_max=jnp.where(
+                tracked_now, jnp.maximum(arena.parallax_max, new_par_last), arena.parallax_max
+            ),
         )
 
         tracks = tracks._replace(pts=pts1, valid=survived, scale=scale_prior)
@@ -337,7 +343,8 @@ class StereoVO:
         head = state.ring.head
         last_kf_lm = state.ring.lm_idx[head]
         last_kf_ov = state.ring.obs_valid[head]
-        still = jnp.zeros((self.M + 1,), bool).at[jnp.where(tracks.valid, tracks.lm_idx, self.M)].set(True)
+        still = A.onehot_update(jnp.zeros((self.M,), bool), tracks.lm_idx, tracks.valid, op="or")
+        still = jnp.concatenate([still, jnp.zeros((1,), bool)])
         overlap = jnp.sum(still[jnp.where(last_kf_ov, last_kf_lm, self.M)] & last_kf_ov) / jnp.maximum(
             jnp.sum(last_kf_ov), 1
         )
@@ -405,7 +412,9 @@ class StereoVO:
         )
         # Scatter refined poses back into ring slots.
         order = A.ring_order(ring)
-        ring = ring._replace(T_cw=ring.T_cw.at[order].set(res.T_cw))
+        # Permutation write-back as one-hot einsum (scatter-free on TPU).
+        perm = (order[:, None] == jnp.arange(ring.capacity, dtype=order.dtype)[None, :]).astype(jnp.float32)
+        ring = ring._replace(T_cw=jnp.einsum("pk,pij->kij", perm, res.T_cw))
         # The newest keyframe is the current frame: adopt its refined pose.
         T_wc_new = geo.se3_inverse(ring.T_cw[ring.head])
         touched = gathered["lm_valid"] & (jnp.sum(problem.mask, axis=1) >= 2)

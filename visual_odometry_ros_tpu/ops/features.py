@@ -107,11 +107,13 @@ def shi_tomasi_response(img: jax.Array, radius: int = 2) -> jax.Array:
 
 def occupancy_grid(pts: jax.Array, valid: jax.Array, H: int, W: int, gh: int, gw: int) -> jax.Array:
     """[gh, gw] count of live features per bin (WeightBin update,
-    feature_extractor.h:96-141)."""
+    feature_extractor.h:96-141). One-hot contraction instead of scatter-add
+    (TPU scatter-emitter bug + better fusion; bins are few)."""
     bu = jnp.clip((pts[:, 0] / (W / gw)).astype(jnp.int32), 0, gw - 1)
     bv = jnp.clip((pts[:, 1] / (H / gh)).astype(jnp.int32), 0, gh - 1)
     flat = bv * gw + bu
-    counts = jnp.zeros((gh * gw,), jnp.int32).at[flat].add(valid.astype(jnp.int32))
+    oh = flat[:, None] == jnp.arange(gh * gw, dtype=jnp.int32)[None, :]  # [N, B]
+    counts = jnp.sum(oh & valid[:, None], axis=0, dtype=jnp.int32)
     return counts.reshape(gh, gw)
 
 
@@ -259,9 +261,9 @@ def match_descriptors(
     d = jnp.where(va[:, None] & vb[None, :], d, big)
     best = jnp.argmin(d, axis=1)
     best_d = jnp.min(d, axis=1)
-    # second best for ratio test
-    d2 = d.at[jnp.arange(d.shape[0]), best].set(big)
-    second_d = jnp.min(d2, axis=1)
+    # second best for ratio test (mask arithmetic, no multi-index scatter)
+    is_best = jnp.arange(d.shape[1])[None, :] == best[:, None]
+    second_d = jnp.min(jnp.where(is_best, big, d), axis=1)
     # mutual check
     best_rev = jnp.argmin(d, axis=0)
     mutual = best_rev[best] == jnp.arange(d.shape[0])

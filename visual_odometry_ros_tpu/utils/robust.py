@@ -18,10 +18,11 @@ def huber_weight(r_abs: jax.Array, delta: float) -> jax.Array:
 
 
 def masked_histogram(values: jax.Array, mask: jax.Array, lo: float, hi: float, bins: int):
-    """Fixed-bin histogram of masked values ([N] -> [bins]), jit-safe."""
+    """Fixed-bin histogram of masked values ([N] -> [bins]), jit-safe.
+    One-hot sum instead of scatter-add (TPU-friendly; bins are few)."""
     idx = jnp.clip(((values - lo) / (hi - lo) * bins).astype(jnp.int32), 0, bins - 1)
-    weights = mask.astype(jnp.float32)
-    return jnp.zeros((bins,), jnp.float32).at[idx].add(weights)
+    oh = idx[:, None] == jnp.arange(bins, dtype=jnp.int32)[None, :]
+    return jnp.sum(oh & mask[:, None], axis=0).astype(jnp.float32)
 
 
 def masked_median_histogram(values: jax.Array, mask: jax.Array, lo: float, hi: float, bins: int):

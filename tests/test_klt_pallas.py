@@ -1,0 +1,64 @@
+"""Pallas KLT level kernel vs the jnp reference implementation (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from visual_odometry_ros_tpu.ops import klt
+from visual_odometry_ros_tpu.ops.klt_pallas import track_level_pallas
+from visual_odometry_ros_tpu.ops.pyramid import scharr_gradients
+
+import importlib.util as _ilu
+
+_spec = _ilu.spec_from_file_location("kltfix", __file__.replace("test_klt_pallas.py", "test_klt.py"))
+_k = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_k)
+
+
+def test_pallas_level_matches_jnp(rng):
+    img0 = _k._textured_image(rng)
+    dx, dy = 2.7, -1.9
+    img1 = _k._shift_image(img0, dx, dy)
+    p0 = _k._grid_points(*img0.shape)
+    valid = np.ones(len(p0), bool)
+
+    gx, gy = scharr_gradients(jnp.asarray(img0))
+    r, iters = 10, 12
+
+    p1_p, live_p, err_p = track_level_pallas(
+        jnp.asarray(img0), gx, gy, jnp.asarray(img1),
+        jnp.asarray(p0), jnp.asarray(p0), jnp.asarray(valid),
+        radius=r, iters=iters, interpret=True,
+    )
+
+    offsets = klt._patch_offsets(r)
+    p1_j, live_j, err_j = klt._track_one_level(
+        jnp.asarray(img0), gx, gy, jnp.asarray(img1),
+        jnp.asarray(p0), jnp.asarray(p0), jnp.asarray(valid),
+        offsets, iters, 0.03, 1e-4,
+    )
+
+    p1_p, p1_j = np.asarray(p1_p), np.asarray(p1_j)
+    live_p, live_j = np.asarray(live_p), np.asarray(live_j)
+    both = live_p & live_j
+    assert both.mean() > 0.8
+    # Same math, same convergence: sub-0.05px agreement on live tracks.
+    d = np.linalg.norm(p1_p[both] - p1_j[both], axis=-1)
+    assert np.median(d) < 0.05
+    # And both recover the true shift.
+    e = np.linalg.norm(p1_p[both] - (p0[both] + [dx, dy]), axis=-1)
+    assert np.median(e) < 0.25
+
+
+def test_pallas_level_border_rejected(rng):
+    img0 = _k._textured_image(rng)
+    img1 = img0.copy()
+    p0 = np.array([[3.0, 3.0], [150.0, 120.0]], np.float32)  # first is at border
+    gx, gy = scharr_gradients(jnp.asarray(img0))
+    p1, live, err = track_level_pallas(
+        jnp.asarray(img0), gx, gy, jnp.asarray(img1),
+        jnp.asarray(p0), jnp.asarray(p0), jnp.ones(2, bool),
+        radius=10, iters=5, interpret=True,
+    )
+    live = np.asarray(live)
+    assert not live[0] and live[1]

@@ -1,0 +1,190 @@
+"""Pallas TPU kernel for the KLT inner loop — per-feature patch tracking.
+
+The jnp KLT (ops/klt.py) expresses patch extraction as XLA gathers, which
+lower poorly on TPU (serialized random access). This kernel keeps the whole
+pyramid level resident in VMEM and runs the inverse-compositional iteration
+with *dynamic slices* per feature: template patch + gradient patches sliced
+once, 2x2 normal equations accumulated on the VPU, then a fixed GN iteration
+loop that re-slices the target patch at the current integer offset and
+bilinearly interpolates with scalar weights.
+
+Layout: grid = (N / FPB,) programs, FPB features per program (static Python
+loop inside); feature coordinates arrive via scalar prefetch (SMEM), outputs
+are per-feature (p1, err, ok).
+
+Matches `_track_one_level` in ops/klt.py (same math, same gates) so the
+pyramid driver can swap implementations; parity is tested in
+tests/test_klt_pallas.py including interpret mode.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Features per program: amortizes program dispatch; keeps VMEM scratch small.
+_FPB = 8
+
+
+def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W: int):
+    S = 2 * radius + 1  # patch side
+    SS = S + 1  # slice side (bilinear support)
+
+    def kernel(pts_ref, img0_ref, gx_ref, gy_ref, img1_ref, out_p1_ref, out_err_ref, out_ok_ref):
+        # pts_ref: [FPB, 4] SMEM rows (u0, v0, u1_init, v1_init)
+        for f in range(_FPB):
+            u0 = pts_ref[f, 0]
+            v0 = pts_ref[f, 1]
+            u1 = pts_ref[f, 2]
+            v1 = pts_ref[f, 3]
+
+            # Template patch anchored at the integer part of p0.
+            iu0 = jnp.floor(u0).astype(jnp.int32)
+            iv0 = jnp.floor(v0).astype(jnp.int32)
+            fu0 = u0 - iu0.astype(jnp.float32)
+            fv0 = v0 - iv0.astype(jnp.float32)
+            # In-bounds guard for the whole SSxSS support.
+            x0 = iu0 - radius
+            y0 = iv0 - radius
+            in0 = (x0 >= 0) & (y0 >= 0) & (x0 + SS <= W) & (y0 + SS <= H)
+            x0c = jnp.clip(x0, 0, W - SS)
+            y0c = jnp.clip(y0, 0, H - SS)
+
+            raw_t = img0_ref[pl.ds(y0c, SS), pl.ds(x0c, SS)]
+            raw_gx = gx_ref[pl.ds(y0c, SS), pl.ds(x0c, SS)]
+            raw_gy = gy_ref[pl.ds(y0c, SS), pl.ds(x0c, SS)]
+
+            def bil(raw, fu, fv):
+                return (
+                    raw[:S, :S] * (1.0 - fu) * (1.0 - fv)
+                    + raw[:S, 1:] * fu * (1.0 - fv)
+                    + raw[1:, :S] * (1.0 - fu) * fv
+                    + raw[1:, 1:] * fu * fv
+                )
+
+            T = bil(raw_t, fu0, fv0)
+            gx = bil(raw_gx, fu0, fv0)
+            gy = bil(raw_gy, fu0, fv0)
+
+            gxx = jnp.sum(gx * gx)
+            gxy = jnp.sum(gx * gy)
+            gyy = jnp.sum(gy * gy)
+            npix = float(S * S)
+            tr = gxx + gyy
+            dd = jnp.sqrt(jnp.maximum((gxx - gyy) ** 2 + 4.0 * gxy * gxy, 0.0))
+            lam_min = 0.5 * (tr - dd) / npix
+            eig_ok = lam_min > min_eig
+
+            det = gxx * gyy - gxy * gxy
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+
+            def body(_, carry):
+                u1c, v1c, conv = carry
+                iu = jnp.floor(u1c).astype(jnp.int32)
+                iv = jnp.floor(v1c).astype(jnp.int32)
+                fu = u1c - iu.astype(jnp.float32)
+                fv = v1c - iv.astype(jnp.float32)
+                xs = jnp.clip(iu - radius, 0, W - SS)
+                ys = jnp.clip(iv - radius, 0, H - SS)
+                raw1 = img1_ref[pl.ds(ys, SS), pl.ds(xs, SS)]
+                I1p = bil(raw1, fu, fv)
+                e = T - I1p
+                bx = jnp.sum(gx * e)
+                by = jnp.sum(gy * e)
+                du = (gyy * bx - gxy * by) * inv_det
+                dv = (gxx * by - gxy * bx) * inv_det
+                step2 = du * du + dv * dv
+                active = jnp.logical_not(conv)
+                u1n = jnp.where(active, u1c + du, u1c)
+                v1n = jnp.where(active, v1c + dv, v1c)
+                return u1n, v1n, conv | (step2 < eps * eps)
+
+            u1f, v1f, _ = jax.lax.fori_loop(0, iters, body, (u1, v1, jnp.logical_not(in0) | jnp.logical_not(eig_ok)))
+
+            # Final residual at the converged position.
+            iu = jnp.floor(u1f).astype(jnp.int32)
+            iv = jnp.floor(v1f).astype(jnp.int32)
+            fu = u1f - iu.astype(jnp.float32)
+            fv = v1f - iv.astype(jnp.float32)
+            in1 = (iu - radius >= 0) & (iv - radius >= 0) & (iu - radius + SS <= W) & (iv - radius + SS <= H)
+            xs = jnp.clip(iu - radius, 0, W - SS)
+            ys = jnp.clip(iv - radius, 0, H - SS)
+            raw1 = img1_ref[pl.ds(ys, SS), pl.ds(xs, SS)]
+            I1p = bil(raw1, fu, fv)
+            err = jnp.sum(jnp.abs(T - I1p)) / npix
+
+            out_p1_ref[f, 0] = u1f
+            out_p1_ref[f, 1] = v1f
+            out_err_ref[f] = err
+            out_ok_ref[f] = (in0 & eig_ok & in1).astype(jnp.int32)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("radius", "iters", "eps", "min_eig", "interpret"))
+def track_level_pallas(
+    img0: jax.Array,
+    gx0: jax.Array,
+    gy0: jax.Array,
+    img1: jax.Array,
+    p0: jax.Array,
+    p1_init: jax.Array,
+    valid: jax.Array,
+    radius: int = 10,
+    iters: int = 12,
+    eps: float = 0.03,
+    min_eig: float = 1e-4,
+    interpret: bool = False,
+):
+    """One pyramid level of batched IC-KLT as a Pallas kernel.
+
+    Returns (p1 [N, 2], live [N] bool, err [N]) matching
+    ops/klt._track_one_level semantics (masked-border handling differs only
+    at the image edge where both implementations already reject).
+    """
+    N = p0.shape[0]
+    H, W = img0.shape
+    n_blocks = -(-N // _FPB)
+    pad = n_blocks * _FPB - N
+
+    pts = jnp.concatenate([p0, p1_init], axis=-1)  # [N, 4]
+    if pad:
+        pts = jnp.pad(pts, ((0, pad), (0, 0)))
+
+    kernel = _level_kernel(radius, iters, eps, min_eig, H, W)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((_FPB, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_FPB, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_FPB,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_FPB,), lambda i: (i,), memory_space=pltpu.SMEM),
+        ],
+    )
+    p1_out, err_out, ok_out = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * _FPB, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * _FPB,), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * _FPB,), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(pts, img0, gx0, gy0, img1)
+
+    p1 = p1_out[:N]
+    err = err_out[:N]
+    live = valid & (ok_out[:N] > 0)
+    return p1, live, err

@@ -425,9 +425,79 @@ class StereoVO:
         )
         return state._replace(T_wc=T_wc_new, ring=ring, arena=arena), res.mean_err_px
 
+    def _scan_steps_impl(self, state: StereoVOState, imgs_l, imgs_r):
+        """Device-resident multi-frame step: lax.scan over B frames with the
+        keyframe/BA path inlined via lax.cond — zero host round-trips inside
+        a batch (the per-frame host sync dominates wall time on a remote
+        TPU; this is the production serving path)."""
+
+        def one_frame(state, pair):
+            il, ir = pair
+            state, stats = self._steady_step_impl(state, il, ir)
+
+            def do_kf(s):
+                s2, ba_err = self._keyframe_step_impl(s)
+                return s2, ba_err
+
+            def no_kf(s):
+                return s, jnp.asarray(-1.0, jnp.float32)
+
+            state, ba_err = jax.lax.cond(stats.need_keyframe, do_kf, no_kf, state)
+            out = (state.T_wc, stats, ba_err)
+            return state, out
+
+        state, (poses, stats, ba_errs) = jax.lax.scan(one_frame, state, (imgs_l, imgs_r))
+        return state, poses, stats, ba_errs
+
     # ------------------------------------------------------------------
     # host driver
     # ------------------------------------------------------------------
+
+    def track_stereo_batch(self, imgs_l: np.ndarray, imgs_r: np.ndarray):
+        """Process a batch of B stereo pairs in one device call.
+
+        First call must still begin with track_stereo_images (or this method
+        bootstraps frame 0 from the batch head). Returns list of stats dicts.
+        """
+        if not hasattr(self, "_scan_steps"):
+            self._scan_steps = jax.jit(self._scan_steps_impl)
+        il = jnp.asarray(imgs_l, jnp.float32)
+        ir = jnp.asarray(imgs_r, jnp.float32)
+        if self.cfg.flagDoUndistortion:
+            il, ir = jax.vmap(self._rectify)(il, ir)
+        start = 0
+        if self.state is None:
+            self.state = self._first_frame(il[0], ir[0])
+            self.trajectory.append(np.eye(4, dtype=np.float32))
+            self.kf_trajectory.append((0, np.eye(4, dtype=np.float32)))
+            self.stats_log.append({"frame": 0, "keyframe": True, "n_tracked": 0})
+            start = 1
+            if il.shape[0] == 1:
+                return [self.stats_log[-1]]
+        self.state, poses, fstats, ba_errs = self._scan_steps(self.state, il[start:], ir[start:])
+        poses = np.asarray(poses)
+        ba_errs = np.asarray(ba_errs)
+        out = []
+        B = poses.shape[0]
+        for i in range(B):
+            need_kf = bool(np.asarray(fstats.need_keyframe)[i])
+            stats = {
+                "frame": len(self.trajectory),
+                "keyframe": need_kf,
+                "n_tracked": int(np.asarray(fstats.n_tracked)[i]),
+                "n_inliers": int(np.asarray(fstats.n_inliers)[i]),
+                "n_new": int(np.asarray(fstats.n_new)[i]),
+                "pose_ok": bool(np.asarray(fstats.pose_ok)[i]),
+                "mean_reproj_err": float(np.asarray(fstats.mean_reproj_err)[i]),
+                "overlap_ratio": float(np.asarray(fstats.overlap_ratio)[i]),
+                "ba_err": float(ba_errs[i]) if ba_errs[i] >= 0 else None,
+            }
+            self.trajectory.append(poses[i])
+            if need_kf:
+                self.kf_trajectory.append((stats["frame"], poses[i]))
+            self.stats_log.append(stats)
+            out.append(stats)
+        return out
 
     def track_stereo_images(self, img_l: np.ndarray, img_r: np.ndarray, timestamp: float = 0.0):
         """Process one stereo pair; returns (T_wc [4,4] np, stats dict)."""

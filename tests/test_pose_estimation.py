@@ -170,3 +170,35 @@ def test_steering_angle_histogram(rng):
     xn1 = jnp.asarray((X1[:, :2] / X1[:, 2:3]).astype(np.float32))
     med, psi = epipolar.steering_angle_histogram(xn0, xn1, jnp.ones(256, bool))
     assert np.isfinite(float(med))
+
+
+def test_one_point_pose_recovers_yaw_and_gates_outliers(rng):
+    # Circle-arc planar motion (the 1-point model): R = R_y(th), t ~ [sin(th/2), 0, cos(th/2)].
+    fx = fy = 500.0
+    cx, cy = 320.0, 240.0
+    th = 0.08
+    X0 = _scene(rng, n=256)
+    R = np.asarray(epipolar.geo.so3_exp(jnp.asarray(np.array([0.0, th, 0.0], np.float32))))
+    t = np.array([np.sin(th / 2), 0.0, np.cos(th / 2)], np.float32) * 0.5
+    X1 = X0 @ R.T + t
+    p0 = (X0[:, :2] / X0[:, 2:3]) * np.array([fx, fy]) + np.array([cx, cy])
+    p1 = (X1[:, :2] / X1[:, 2:3]) * np.array([fx, fy]) + np.array([cx, cy])
+    # Corrupt a third of the matches far off the epipolar line.
+    n_bad = 80
+    p1_bad = p1.copy()
+    p1_bad[:n_bad] += rng.uniform(60, 120, (n_bad, 2)) * np.sign(rng.standard_normal((n_bad, 2)))
+    res = epipolar.one_point_pose(
+        jnp.asarray(p0, jnp.float32),
+        jnp.asarray(p1_bad, jnp.float32),
+        jnp.ones(256, bool),
+        fx, fy, cx, cy,
+        thres_px=3.0,
+    )
+    # Median angle within one 400-bin width of truth despite 31% outliers.
+    assert abs(float(res.theta) - th) < 2 * (1.0 / 400)
+    inl = np.asarray(res.inliers)
+    assert inl[n_bad:].mean() > 0.95  # clean matches kept
+    assert inl[:n_bad].mean() < 0.2  # corrupted matches rejected
+    # R_10 is the yaw rotation it claims to be.
+    R_expect = np.asarray(epipolar.geo.so3_exp(jnp.asarray(np.array([0.0, float(res.theta), 0.0], np.float32))))
+    assert np.allclose(np.asarray(res.R_10), R_expect, atol=1e-5)

@@ -196,7 +196,7 @@ def estimate_essential_ransac(
     return EssentialResult(E_ref, R, tt, inliers, ok, n_in)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("bins",))
 def steering_angle_histogram(xn0: jax.Array, xn1: jax.Array, valid: jax.Array, bins: int = 400):
     """1-point steering-angle vote for planar motion (reference
     calcPoseOnePointHistogram, :471-537): per-pair angle
@@ -206,7 +206,9 @@ def steering_angle_histogram(xn0: jax.Array, xn1: jax.Array, valid: jax.Array, b
     x0, y0 = xn0[..., 0], xn0[..., 1]
     x1, y1 = xn1[..., 0], xn1[..., 1]
     denom = y0 + y1
-    psi = -2.0 * jnp.arctan2(x0 * y1 - y0 * x1, jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom))
+    # Plain atan of the ratio (reference :500-502) — NOT atan2: the denominator's
+    # sign must fold into the ratio, else pairs with y0+y1<0 vote near +/-pi.
+    psi = -2.0 * jnp.arctan((x0 * y1 - y0 * x1) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom))
     med = masked_median_histogram(psi, valid, -0.5, 0.5, bins)
     return med, psi
 
@@ -214,3 +216,72 @@ def steering_angle_histogram(xn0: jax.Array, xn1: jax.Array, valid: jax.Array, b
 def essential_from_rt(R_10: jax.Array, t_10: jax.Array) -> jax.Array:
     """E = [t]x R for inlier gating after a known motion."""
     return geo.skew(t_10) @ R_10
+
+
+def symmetric_epipolar_distance_px(
+    F: jax.Array, pts0: jax.Array, pts1: jax.Array
+) -> jax.Array:
+    """Un-squared symmetric epipolar distance in PIXEL units, the reference's
+    calcSymmetricEpipolarDistance (motion_estimator.cpp:621-653):
+    |p1^T F p0| * (1/||(Fp0)_xy|| + 1/||(F^T p1)_xy||). F: [3,3] fundamental;
+    pts0/pts1: [N, 2] pixels."""
+    p0 = _to_homog(pts0)
+    p1 = _to_homog(pts1)
+    Fp0 = jnp.einsum("ij,nj->ni", F, p0, precision=_HI)
+    Ftp1 = jnp.einsum("ji,nj->ni", F, p1, precision=_HI)
+    num = jnp.abs(jnp.einsum("ni,ni->n", p1, Fp0, precision=_HI))
+    n0 = jnp.sqrt(jnp.maximum(Fp0[:, 0] ** 2 + Fp0[:, 1] ** 2, 1e-24))
+    n1 = jnp.sqrt(jnp.maximum(Ftp1[:, 0] ** 2 + Ftp1[:, 1] ** 2, 1e-24))
+    return num * (1.0 / n0 + 1.0 / n1)
+
+
+class OnePointResult(NamedTuple):
+    theta: jax.Array  # [] median steering angle (rad)
+    R_10: jax.Array  # [3, 3] yaw-about-y rotation
+    t_10: jax.Array  # [3] unit translation on the circular arc
+    inliers: jax.Array  # [N] bool
+    n_inliers: jax.Array  # [] int32
+
+
+@partial(jax.jit, static_argnames=("bins",))
+def one_point_pose(
+    pts0: jax.Array,
+    pts1: jax.Array,
+    valid: jax.Array,
+    fx,
+    fy,
+    cx,
+    cy,
+    thres_px: float = 15.0,
+    bins: int = 400,
+):
+    """Full 1-point planar-motion estimate + inlier gate, parity with the
+    reference findInliers1PointHistogram (motion_estimator.cpp:471-537):
+    per-pair steering angle -2*atan((x0 y1 - y0 x1)/(y0 + y1)) in normalized
+    coords, 400-bin histogram median theta, circular-arc motion model
+    R = R_y(theta), t = [sin(theta/2), 0, cos(theta/2)], then un-squared
+    symmetric epipolar distance in pixels gated at thres_px^2 (the reference
+    squares its threshold, :527).
+
+    pts0/pts1: [N, 2] pixels. Everything fixed-shape; the histogram vote is a
+    one-hot [N, bins] contraction (scatter-free, rides the MXU)."""
+    xn0 = jnp.stack([(pts0[:, 0] - cx) / fx, (pts0[:, 1] - cy) / fy], -1)
+    xn1 = jnp.stack([(pts1[:, 0] - cx) / fx, (pts1[:, 1] - cy) / fy], -1)
+    theta, _ = steering_angle_histogram(xn0, xn1, valid, bins=bins)
+
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    R_10 = jnp.array(
+        [[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]], dtype=pts0.dtype
+    )
+    t_10 = jnp.array(
+        [jnp.sin(theta * 0.5), 0.0, jnp.cos(theta * 0.5)], dtype=pts0.dtype
+    )
+    E = essential_from_rt(R_10, t_10)
+    Kinv = jnp.array(
+        [[1.0 / fx, 0.0, -cx / fx], [0.0, 1.0 / fy, -cy / fy], [0.0, 0.0, 1.0]],
+        dtype=pts0.dtype,
+    )
+    F = Kinv.T @ E @ Kinv
+    d = symmetric_epipolar_distance_px(F, pts0, pts1)
+    inliers = valid & (d <= thres_px * thres_px)
+    return OnePointResult(theta, R_10, t_10, inliers, jnp.sum(inliers.astype(jnp.int32)))

@@ -67,6 +67,7 @@ class ExtractorConfig:
 @dataclass
 class MotionEstimatorConfig:
     thres_1p_error: float = 120.0
+    use_1point_gate: bool = False  # apply the 1-point circular-arc inlier gate (planar rigs)
     thres_5p_error: float = 1.5  # px, essential inlier gate
     thres_poseba_error: float = 3.0  # px, pose-only BA inlier gate
     pose_ba_iters: int = 50
@@ -163,6 +164,7 @@ def load_yaml(path: str, stereo: bool | None = None) -> VOConfig:
 
     m = cfg.motion
     m.thres_1p_error = float(raw.get("motion_estimator.thres_1p_error", m.thres_1p_error))
+    m.use_1point_gate = bool(int(raw.get("motion_estimator.use_1point_gate", m.use_1point_gate)))
     m.thres_5p_error = float(raw.get("motion_estimator.thres_5p_error", m.thres_5p_error))
     m.thres_poseba_error = float(raw.get("motion_estimator.thres_poseba_error", m.thres_poseba_error))
 

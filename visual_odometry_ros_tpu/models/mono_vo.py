@@ -272,6 +272,17 @@ class MonoVO:
         )
         pts1 = jnp.where(ok_scale[:, None], pts1_ref, pts1)
 
+        # 1-point steering-angle stage (motion_estimator.cpp:471-537): the
+        # histogram vote always runs (the reference publishes the steering
+        # angle in its statistics topic); the circular-arc epipolar gate is
+        # applied only when configured (planar rigs).
+        op = EP.one_point_pose(
+            tracks.pts, pts1, ok_track, self.fx, self.fy, self.cx, self.cy,
+            thres_px=cfg.motion.thres_1p_error,
+        )
+        if cfg.motion.use_1point_gate:
+            ok_track = ok_track & op.inliers
+
         # Pose-only GN on triangulated landmarks with positive depth.
         X0 = geo.transform_points(T_cw_prev, lm_X)
         gn_valid = ok_track & has_3d & (X0[..., 2] > 0.1)
@@ -367,6 +378,8 @@ class MonoVO:
             mean_reproj_err=res.mean_err,
             overlap_ratio=overlap,
             need_keyframe=need_kf,
+            steering_angle=op.theta,
+            n_pass_1p=op.n_inliers,
         )
         return new_state, scalars
 
@@ -544,6 +557,8 @@ class MonoVO:
             "used_fallback": used_fallback,
             "mean_reproj_err": float(sc["mean_reproj_err"]),
             "overlap_ratio": float(sc["overlap_ratio"]),
+            "steering_angle": float(sc["steering_angle"]),
+            "n_pass_1p": int(sc["n_pass_1p"]),
             "ba_err": ba_err,
             "n_triangulated": n_tri,
         }

@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Multi-device BA scaling benchmark: BA iterations/s at 1..N devices.
+
+The BASELINE north star asks for frames/s and BA iters/s at 1 chip / 1 host /
+N hosts with >=70% scaling efficiency. This harness measures the
+landmark-sharded distributed Schur BA (parallel/dist_ba.py) at a sweep of
+mesh sizes and prints one JSON line per mesh plus a final efficiency line.
+
+On this container it runs on virtual CPU devices (the mesh/collective code
+path is identical to a pod slice; absolute numbers are only meaningful on
+real chips). Weak scaling by default: landmarks per device held constant.
+
+  python scripts/bench_scaling.py [--devices 1 2 4 8] [--lm-per-dev 4096]
+  python scripts/bench_scaling.py --strong --landmarks 32768
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_problem(M: int, K: int, seed: int = 0):
+    import jax.numpy as jnp
+
+    from visual_odometry_ros_tpu.ops import ba as BA
+    from visual_odometry_ros_tpu.utils import geometry as geo
+
+    rng = np.random.default_rng(seed)
+    FX = FY = 718.0
+    CX, CY = 607.0, 185.0
+    T_cw = []
+    for k in range(K):
+        xi = np.array([0.01 * k, 0.0, -0.8 * k, 0.0, 0.002 * k, 0.0], np.float32)
+        T_cw.append(np.asarray(geo.se3_inverse(geo.se3_exp(jnp.asarray(xi)))))
+    T_cw = np.stack(T_cw)
+    Xw = np.stack(
+        [rng.uniform(-15, 15, M), rng.uniform(-3, 3, M), rng.uniform(5, 60, M)], -1
+    ).astype(np.float32)
+    pts = np.zeros((M, K, 2), np.float32)
+    mask = np.zeros((M, K), bool)
+    for k in range(K):
+        Xc = Xw @ T_cw[k, :3, :3].T + T_cw[k, :3, 3]
+        z = np.maximum(Xc[:, 2], 1e-3)
+        uv = np.stack([Xc[:, 0] / z * FX + CX, Xc[:, 1] / z * FY + CY], -1)
+        pts[:, k] = uv + rng.normal(0, 0.3, (M, 2))
+        mask[:, k] = (Xc[:, 2] > 1.0) & (np.abs(uv[:, 0] - CX) < 700) & (np.abs(uv[:, 1] - CY) < 250)
+    T_rl = np.eye(4, dtype=np.float32)
+    T_rl[0, 3] = -0.537
+    problem = BA.BAProblem(
+        T_cw=jnp.asarray(T_cw),
+        Xw=jnp.asarray(Xw),
+        pts=jnp.asarray(pts),
+        mask=jnp.asarray(mask),
+        pts_r=jnp.asarray(pts),
+        mask_r=jnp.asarray(mask),
+        kf_valid=jnp.ones((K,), bool),
+        lm_valid=jnp.ones((M,), bool),
+    )
+    return problem, FX, FY, CX, CY, jnp.asarray(T_rl)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--lm-per-dev", type=int, default=4096)
+    p.add_argument("--landmarks", type=int, default=None, help="total landmarks (strong scaling)")
+    p.add_argument("--strong", action="store_true")
+    p.add_argument("--window", type=int, default=9)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    max_dev = max(args.devices)
+    os.environ.setdefault("XLA_FLAGS", f"--xla_force_host_platform_device_count={max_dev}")
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from jax.sharding import Mesh
+
+    from visual_odometry_ros_tpu.ops import ba as BA
+    from visual_odometry_ros_tpu.parallel import dist_ba
+
+    have = len(jax.devices())
+    sizes = [d for d in args.devices if d <= have]
+    if sizes != args.devices:
+        print(f"# only {have} devices available; running {sizes}", file=sys.stderr)
+
+    results = []
+    for nd in sizes:
+        if args.strong:
+            M_total = args.landmarks or (args.lm_per_dev * max(sizes))
+        else:
+            M_total = args.lm_per_dev * nd
+        M_total = (M_total + nd - 1) // nd * nd
+        problem, FX, FY, CX, CY, T_rl = build_problem(M_total, args.window)
+        mesh = Mesh(np.asarray(jax.devices()[:nd]), ("lm",))
+        solve = dist_ba.make_distributed_ba(mesh, BA.BAParams(iters=args.iters))
+        res = solve(problem, FX, FY, CX, CY, T_rl)  # compile + warm
+        jax.block_until_ready(res)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            res = solve(problem, FX, FY, CX, CY, T_rl)
+        jax.block_until_ready(res)
+        dt = time.perf_counter() - t0
+        iters_per_s = args.reps * args.iters / dt
+        rec = {
+            "metric": "ba_iters_per_s",
+            "devices": nd,
+            "landmarks": M_total,
+            "window": args.window,
+            "value": round(iters_per_s, 2),
+            "unit": "GN iters/s",
+            "ms_per_solve": round(dt / args.reps * 1e3, 2),
+            "mean_err_px": round(float(res.mean_err_px), 4),
+        }
+        results.append(rec)
+        print(json.dumps(rec))
+
+    if len(results) >= 2:
+        base = results[0]
+        last = results[-1]
+        if args.strong:
+            # ideal: iters/s scales with device count
+            eff = (last["value"] / base["value"]) / (last["devices"] / base["devices"])
+        else:
+            # weak: per-device load constant, ideal iters/s is flat
+            eff = last["value"] / base["value"]
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "mode": "strong" if args.strong else "weak",
+                    "devices": last["devices"],
+                    "value": round(eff, 3),
+                    "unit": "fraction",
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,8 @@ def parse_args(argv=None):
     p.add_argument("--frames", type=int, default=None, help="limit frame count")
     p.add_argument("--out", default="out/run")
     p.add_argument("--platform", default=None, help="force jax platform (cpu/axon)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="capture a jax.profiler device trace of the run (view in xprof/tensorboard)")
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
 
@@ -124,6 +126,16 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     slog = StatisticsLog()
     n_done = 0
+    tracer = None
+    if args.trace:
+        # Device-level tracing (the reference's tic/toc+gprof analog, SURVEY §5):
+        # per-op TPU timelines viewable in xprof/tensorboard.
+        import contextlib
+
+        import jax
+
+        tracer = contextlib.ExitStack()
+        tracer.enter_context(jax.profiler.trace(args.trace))
     t_start = time.perf_counter()
     for ts, left, right in ds:
         if args.frames is not None and n_done >= args.frames:
@@ -152,6 +164,8 @@ def main(argv=None):
                   f"tracks={stats.get('n_inliers')} {dt_ms:.1f}ms", flush=True)
 
     wall = time.perf_counter() - t_start
+    if tracer is not None:
+        tracer.close()
     if not vo.trajectory:
         raise SystemExit(
             f"no frames processed — check --root/--seq (dataset yielded 0 frames) "

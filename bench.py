@@ -7,6 +7,13 @@ inline per-stage annotations for the steady-state frame sum to ~59 ms
 (KLT 5 ms + scale re-track 50 ms + 5-point 2 ms + ORB 2 ms; mono_vo.cpp:571,
 579, 583, 976) on their x86 CPU at KITTI 1241x376 — i.e. ~17 frames/s.
 vs_baseline = measured_fps / 17.0 (BASELINE.md north star: >= 5x).
+
+Measures the production serving path: `track_stereo_batch`, the device-
+resident lax.scan over frames with the keyframe/BA branch inlined as
+lax.cond.  Per-frame host dispatch is pathological through the remote-TPU
+tunnel (seconds of RTT per call); the scan path does ONE host->device image
+upload and ONE readback per batch, which is also the right shape for a
+locally-attached chip.  Images cross the link as uint8 (camera-native).
 """
 
 from __future__ import annotations
@@ -17,8 +24,8 @@ import time
 import numpy as np
 
 BASELINE_FPS = 17.0
-N_WARMUP = 3
-N_FRAMES = 40
+BATCH = 24
+N_BATCHES = 3
 
 
 def build_vo():
@@ -56,31 +63,32 @@ def make_frames(n, width=1241, height=376):
         sy=0.15,
     )
     poses = forward_trajectory(n, step=0.8, yaw_rate=0.0015)
-    return [world.stereo_pair(T.astype(np.float64)) for T in poses]
+    pairs = [world.stereo_pair(T.astype(np.float64)) for T in poses]
+    # Camera-native uint8 payload across the host->device link.
+    il = np.stack([np.clip(l, 0, 255).astype(np.uint8) for l, _ in pairs])
+    ir = np.stack([np.clip(r, 0, 255).astype(np.uint8) for _, r in pairs])
+    return il, ir
 
 
 def main():
     import jax
 
     vo = build_vo()
-    frames = make_frames(N_WARMUP + N_FRAMES)
+    n_total = 1 + BATCH * (1 + N_BATCHES)  # first frame + warm batch + timed batches
+    il, ir = make_frames(n_total)
 
-    # Warmup: first frame + steady + keyframe path all compile here.
-    for il, ir in frames[:N_WARMUP]:
-        vo.track_stereo_images(il, ir)
-    # Force one keyframe compile if none occurred yet.
-    if not any(s.get("keyframe") for s in vo.stats_log[1:]):
-        vo.state, _ = vo._keyframe_step(vo.state)
+    # Warmup: bootstraps frame 0, compiles first-frame + scan programs.
+    vo.track_stereo_batch(il[: 1 + BATCH], ir[: 1 + BATCH])
     jax.block_until_ready(vo.state.T_wc)
 
     t0 = time.perf_counter()
-    for il, ir in frames[N_WARMUP:]:
-        vo.track_stereo_images(il, ir)
+    for b in range(N_BATCHES):
+        s = 1 + BATCH * (1 + b)
+        vo.track_stereo_batch(il[s : s + BATCH], ir[s : s + BATCH])
     jax.block_until_ready(vo.state.T_wc)
     dt = time.perf_counter() - t0
 
-    fps = N_FRAMES / dt
-    n_kf = sum(1 for s in vo.stats_log[N_WARMUP:] if s.get("keyframe"))
+    fps = (N_BATCHES * BATCH) / dt
     result = {
         "metric": "stereo_vo_frames_per_s",
         "value": round(fps, 2),
@@ -88,8 +96,6 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 3),
     }
     print(json.dumps(result))
-    # Diagnostics on stderr-adjacent second line are not allowed; keep state
-    # in the JSON only.
     return result
 
 

@@ -433,7 +433,11 @@ class StereoVO:
 
         def one_frame(state, pair):
             il, ir = pair
-            state, stats = self._steady_step_impl(state, il, ir)
+            # Images cross host->device in their native dtype (uint8 for real
+            # cameras: 4x less tunnel/PCIe payload); compute is f32.
+            state, stats = self._steady_step_impl(
+                state, il.astype(jnp.float32), ir.astype(jnp.float32)
+            )
 
             def do_kf(s):
                 s2, ba_err = self._keyframe_step_impl(s)
@@ -461,13 +465,15 @@ class StereoVO:
         """
         if not hasattr(self, "_scan_steps"):
             self._scan_steps = jax.jit(self._scan_steps_impl)
-        il = jnp.asarray(imgs_l, jnp.float32)
-        ir = jnp.asarray(imgs_r, jnp.float32)
+        il = jnp.asarray(imgs_l)
+        ir = jnp.asarray(imgs_r)
         if self.cfg.flagDoUndistortion:
+            il = jnp.asarray(imgs_l, jnp.float32)
+            ir = jnp.asarray(imgs_r, jnp.float32)
             il, ir = jax.vmap(self._rectify)(il, ir)
         start = 0
         if self.state is None:
-            self.state = self._first_frame(il[0], ir[0])
+            self.state = self._first_frame(il[0].astype(jnp.float32), ir[0].astype(jnp.float32))
             self.trajectory.append(np.eye(4, dtype=np.float32))
             self.kf_trajectory.append((0, np.eye(4, dtype=np.float32)))
             self.stats_log.append({"frame": 0, "keyframe": True, "n_tracked": 0})

@@ -73,3 +73,29 @@ def test_mono_vo_triangulates_new_landmarks(seq):
         vo.track_image(f)
     tri_counts = [s.get("n_triangulated", 0) for s in vo.stats_log if s.get("keyframe")]
     assert sum(tri_counts) > 20  # keyframes mint new map points
+
+
+def test_mono_scan_batch_matches_sequential(seq):
+    world, poses_gt, frames = seq
+    vo_seq = MonoVO(_mono_cfg())
+    vo_scan = MonoVO(_mono_cfg())
+
+    # Bootstrap both per-frame (identical inputs -> identical states).
+    i = 0
+    while vo_scan.phase != 2:
+        vo_seq.track_image(frames[i])
+        vo_scan.track_image(frames[i])
+        i += 1
+        assert i < len(frames), "never bootstrapped"
+
+    for f in frames[i:]:
+        vo_seq.track_image(f)
+    vo_scan.track_batch(np.stack(frames[i:]))
+
+    t_seq = np.stack(vo_seq.trajectory)
+    t_scan = np.stack(vo_scan.trajectory)
+    assert t_seq.shape == t_scan.shape
+    # No-fallback sequences are numerically identical up to compile order.
+    if not any(s.get("used_fallback") for s in vo_seq.stats_log):
+        np.testing.assert_allclose(t_scan, t_seq, atol=1e-4)
+    assert [s["keyframe"] for s in vo_seq.stats_log] == [s["keyframe"] for s in vo_scan.stats_log]

@@ -492,6 +492,83 @@ class MonoVO:
         n_tri = jnp.sum(tri_ok)
         return state._replace(T_wc=T_wc_new, ring=ring, arena=arena), res.mean_err_px, n_tri
 
+    def _scan_steps_impl(self, state: MonoVOState, key, imgs):
+        """Device-resident multi-frame mono step: lax.scan over B frames with
+        the 5-point fallback and keyframe/BA branches inlined as lax.cond —
+        one host->device upload and one readback per batch (mirrors the
+        stereo scan path; the per-frame host sync dominates wall time on a
+        remote TPU)."""
+
+        def one_frame(carry, img):
+            state, key = carry
+            key, sub = jax.random.split(key)
+            state_new, sc = self._steady_step_impl(state, img.astype(jnp.float32))
+
+            def fb(args):
+                prev, new, k = args
+                s2, _ok = self._fallback_5pt_impl(prev, new, k)
+                return s2
+
+            state_new = jax.lax.cond(
+                sc["pose_ok"], lambda args: args[1], fb, (state, state_new, sub)
+            )
+
+            def do_kf(s):
+                s2, ba_err, n_tri = self._keyframe_step_impl(s)
+                return s2, ba_err, n_tri
+
+            def no_kf(s):
+                return s, jnp.asarray(-1.0, jnp.float32), jnp.asarray(0, jnp.int32)
+
+            state_new, ba_err, n_tri = jax.lax.cond(sc["need_keyframe"], do_kf, no_kf, state_new)
+            return (state_new, key), (state_new.T_wc, sc, ba_err, n_tri)
+
+        (state, key), outs = jax.lax.scan(one_frame, (state, key), imgs)
+        return state, key, outs
+
+    def track_batch(self, imgs: np.ndarray):
+        """Process a batch of B frames in one device call (steady phase only:
+        bootstrap with per-frame track_image until phase == 2 first).
+        Returns list of stats dicts."""
+        if self.phase != 2:
+            raise RuntimeError(
+                "track_batch requires a bootstrapped pipeline (phase 2); "
+                "feed initial frames through track_image first"
+            )
+        if not hasattr(self, "_scan_steps"):
+            self._scan_steps = jax.jit(self._scan_steps_impl)
+        self.state, self._key, (poses, sc, ba_errs, n_tris) = self._scan_steps(
+            self.state, self._key, jnp.asarray(imgs)
+        )
+        poses = np.asarray(poses)
+        ba_errs = np.asarray(ba_errs)
+        n_tris = np.asarray(n_tris)
+        out = []
+        for i in range(poses.shape[0]):
+            need_kf = bool(np.asarray(sc["need_keyframe"])[i])
+            stats = {
+                "frame": len(self.trajectory),
+                "phase": "steady",
+                "keyframe": need_kf,
+                "n_tracked": int(np.asarray(sc["n_tracked"])[i]),
+                "n_inliers": int(np.asarray(sc["n_inliers"])[i]),
+                "n_new": int(np.asarray(sc["n_new"])[i]),
+                "pose_ok": bool(np.asarray(sc["pose_ok"])[i]),
+                "used_fallback": not bool(np.asarray(sc["pose_ok"])[i]),
+                "mean_reproj_err": float(np.asarray(sc["mean_reproj_err"])[i]),
+                "overlap_ratio": float(np.asarray(sc["overlap_ratio"])[i]),
+                "steering_angle": float(np.asarray(sc["steering_angle"])[i]),
+                "n_pass_1p": int(np.asarray(sc["n_pass_1p"])[i]),
+                "ba_err": float(ba_errs[i]) if ba_errs[i] >= 0 else None,
+                "n_triangulated": int(n_tris[i]),
+            }
+            self.trajectory.append(poses[i])
+            if need_kf:
+                self.kf_trajectory.append((stats["frame"], poses[i]))
+            self.stats_log.append(stats)
+            out.append(stats)
+        return out
+
     # ------------------------------------------------------------------
 
     def track_image(self, img: np.ndarray, timestamp: float = 0.0):

@@ -52,6 +52,7 @@ class TrackerConfig:
     max_iter: int = 20
     eps: float = 0.03
     min_eig: float = 1e-4
+    use_pallas: str = "auto"  # "auto" (TPU only) | "on" | "off": Pallas KLT level kernel
 
 
 @dataclass

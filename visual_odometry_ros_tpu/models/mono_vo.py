@@ -75,6 +75,7 @@ class MonoVO:
             min_eig=cfg.tracker.min_eig,
             max_err=cfg.tracker.thres_error,
             fb_thresh=cfg.tracker.thres_bidirection,
+            use_pallas=KLT.resolve_use_pallas(cfg.tracker.use_pallas),
         )
         self.pose_params = PG.PoseGNParams(
             max_iters=cfg.motion.pose_ba_iters,

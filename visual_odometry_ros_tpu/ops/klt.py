@@ -42,6 +42,24 @@ class KLTParams(NamedTuple):
     max_err: float = 30.0  # mean abs intensity error gate (reference err gate 30)
     fb_thresh: float = 1.0  # bidirectional consistency gate, px
     border: float = 3.0
+    use_pallas: bool = False  # route levels through the Pallas TPU kernel
+
+
+def resolve_use_pallas(mode: str | bool) -> bool:
+    """Config policy for the Pallas KLT level kernel: "on"/"off" force it;
+    "auto" enables it only on a TPU backend (Mosaic doesn't target CPU, and
+    interpret mode would be slower than the jnp path)."""
+    if isinstance(mode, bool):
+        return mode
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    try:
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return "tpu" in plat or "axon" in plat
 
 
 def _patch_offsets(radius: int, checkerboard: bool = False) -> jax.Array:
@@ -121,19 +139,28 @@ def _pyr_track(pyr0, pyr1, p0, p1_init, valid, params: KLTParams):
         s = 2.0**lvl
         img0, gx0, gy0 = pyr0[lvl]
         img1 = pyr1[lvl][0]
-        p1, live, err = _track_one_level(
-            img0,
-            gx0,
-            gy0,
-            img1,
-            p0 / s,
-            p1,
-            live,
-            offsets,
-            params.iters,
-            params.eps,
-            params.min_eig,
-        )
+        if params.use_pallas:
+            from .klt_pallas import track_level_pallas
+
+            p1, live, err = track_level_pallas(
+                img0, gx0, gy0, img1, p0 / s, p1, live,
+                radius=params.window_radius, iters=params.iters,
+                eps=params.eps, min_eig=params.min_eig,
+            )
+        else:
+            p1, live, err = _track_one_level(
+                img0,
+                gx0,
+                gy0,
+                img1,
+                p0 / s,
+                p1,
+                live,
+                offsets,
+                params.iters,
+                params.eps,
+                params.min_eig,
+            )
         if lvl > 0:
             p1 = p1 * 2.0
     return p1, live, err

@@ -99,3 +99,23 @@ def test_mono_scan_batch_matches_sequential(seq):
     if not any(s.get("used_fallback") for s in vo_seq.stats_log):
         np.testing.assert_allclose(t_scan, t_seq, atol=1e-4)
     assert [s["keyframe"] for s in vo_seq.stats_log] == [s["keyframe"] for s in vo_scan.stats_log]
+
+
+def test_mono_depth_seeds_update_and_promote(seq):
+    world, poses_gt, frames = seq
+    vo = MonoVO(_mono_cfg())
+    for f in frames:
+        vo.track_image(f)
+    ar = vo.state.arena
+    alive = np.asarray(ar.alive)
+    assert alive.any()
+    # Seeds were born with (a, b) = (10, 10); keyframe fusion must have moved
+    # the Beta posterior on at least some landmarks.
+    a = np.asarray(ar.df_a)[alive]
+    assert (np.abs(a - 10.0) > 1e-3).any(), "depth-filter never updated any seed"
+    # Promoted/triangulated landmarks carry a positive inverse-range state.
+    tri = np.asarray(ar.triangulated) & alive
+    assert np.asarray(ar.inv_depth)[tri].min() > 0
+    # Birth rays are unit length for live landmarks.
+    rd = np.asarray(ar.ray_d)[alive]
+    np.testing.assert_allclose(np.linalg.norm(rd, axis=-1), 1.0, atol=1e-4)

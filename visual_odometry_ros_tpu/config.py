@@ -93,6 +93,9 @@ class MapConfig:
     landmark_capacity: int = 4096
     min_depth: float = 0.5
     max_depth: float = 200.0
+    init_depth: float = 10.0  # depth-filter seed prior mean (world units)
+    df_converge_ratio: float = 100.0  # seed accepted when std < range/ratio
+    df_min_inlier_prob: float = 0.5  # Beta inlier probability floor for promotion
 
 
 @dataclass

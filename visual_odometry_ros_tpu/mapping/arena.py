@@ -34,10 +34,12 @@ class LandmarkArena(NamedTuple):
     bundled: jax.Array  # [M] bool — touched by BA at least once
     age: jax.Array  # [M] int32 — #frames observed
     last_pt: jax.Array  # [M, 2] most recent pixel observation
-    inv_depth: jax.Array  # [M] depth-filter state: inverse-depth mean
+    inv_depth: jax.Array  # [M] depth-filter state: inverse-RANGE mean along ray_d
     inv_depth_var: jax.Array  # [M] depth-filter state: variance
     df_a: jax.Array  # [M] Beta-distribution inlier count (depth filter)
     df_b: jax.Array  # [M] Beta-distribution outlier count
+    ray_o: jax.Array  # [M, 3] birth camera center (world) — depth-seed anchor
+    ray_d: jax.Array  # [M, 3] unit world ray through the birth pixel
     parallax_last: jax.Array  # [M] rad
     parallax_max: jax.Array  # [M] rad
 
@@ -60,6 +62,8 @@ def make_arena(capacity: int) -> LandmarkArena:
         inv_depth_var=z1,
         df_a=z1,
         df_b=z1,
+        ray_o=jnp.zeros((capacity, 3), jnp.float32),
+        ray_d=jnp.zeros((capacity, 3), jnp.float32),
         parallax_last=z1,
         parallax_max=z1,
     )

@@ -177,7 +177,22 @@ class MonoVO:
             triangulated=A.onehot_update(arena.triangulated, slots, ok_new, op="or"),
             age=A.onehot_update(arena.age, slots, ok_new, jnp.full((self.N,), 2, jnp.int32)),
             last_pt=A.onehot_update(arena.last_pt, slots, ok_new, pts1),
-            inv_depth=A.onehot_update(arena.inv_depth, slots, ok_new, 1.0 / jnp.maximum(X0[:, 2], 1e-3)),
+            # Depth seeds: first camera sits at the origin; the seed lives on
+            # the unit ray through the first observation, inverse-range state.
+            inv_depth=A.onehot_update(
+                arena.inv_depth, slots, ok_new, 1.0 / jnp.maximum(jnp.linalg.norm(X0, axis=-1), 1e-3)
+            ),
+            inv_depth_var=A.onehot_update(
+                arena.inv_depth_var, slots, ok_new,
+                DF.measurement_tau2(X0[:, 2], jnp.asarray(1.0), self.fx),
+            ),
+            df_a=A.onehot_update(arena.df_a, slots, ok_new, jnp.full((self.N,), 10.0, jnp.float32)),
+            df_b=A.onehot_update(arena.df_b, slots, ok_new, jnp.full((self.N,), 10.0, jnp.float32)),
+            ray_d=A.onehot_update(
+                arena.ray_d, slots, ok_new,
+                jnp.concatenate([xn0, jnp.ones((self.N, 1))], -1)
+                / jnp.maximum(jnp.linalg.norm(jnp.concatenate([xn0, jnp.ones((self.N, 1))], -1), axis=-1, keepdims=True), 1e-9),
+            ),
         )
         tracks = state.tracks._replace(lm_idx=slots, valid=ok_new)
 
@@ -217,15 +232,25 @@ class MonoVO:
         )
         return new_state, res.ok, jnp.sum(ok_new)
 
-    def _replenish(self, img, tracks, arena):
-        """New features -> untriangulated landmarks (depth comes later at KFs,
-        mono_vo.cpp:976-1013)."""
+    def _replenish(self, img, tracks, arena, T_wc):
+        """New features -> untriangulated landmarks (mono_vo.cpp:976-1013).
+        Each birth also plants a depth-filter seed on the world ray through
+        the new pixel (SVO-style; depth arrives recursively at keyframes)."""
         n_new_cap = self.N // 2
         new_pts, new_ok = self._detect(img, tracks.pts, tracks.valid, n_new_cap)
         slots, slot_ok = A.allocate_slots(~arena.alive, n_new_cap)
         ok_new = new_ok & slot_ok
         zeros_n = jnp.zeros((n_new_cap,), jnp.float32)
         false_n = jnp.zeros((n_new_cap,), bool)
+        # Birth ray in world coords + fresh inverse-range seed.
+        xn = cam_mod.pixel_to_normalized(self.cam, new_pts)
+        d_cam = jnp.concatenate([xn, jnp.ones((n_new_cap, 1))], axis=-1)
+        d_w = d_cam @ T_wc[:3, :3].T
+        d_w = d_w / jnp.maximum(jnp.linalg.norm(d_w, axis=-1, keepdims=True), 1e-9)
+        seeds0 = DF.init_seeds(
+            jnp.full((n_new_cap,), self.cfg.map.init_depth, jnp.float32),
+            depth_min=self.cfg.map.min_depth,
+        )
         arena = arena._replace(
             alive=A.onehot_update(arena.alive, slots, ok_new, op="or"),
             tracked=A.onehot_update(arena.tracked, slots, ok_new, op="or"),
@@ -233,6 +258,12 @@ class MonoVO:
             bundled=A.onehot_update(arena.bundled, slots, ok_new, false_n),
             age=A.onehot_update(arena.age, slots, ok_new, jnp.ones((n_new_cap,), jnp.int32)),
             last_pt=A.onehot_update(arena.last_pt, slots, ok_new, new_pts),
+            inv_depth=A.onehot_update(arena.inv_depth, slots, ok_new, seeds0.mu),
+            inv_depth_var=A.onehot_update(arena.inv_depth_var, slots, ok_new, seeds0.sigma2),
+            df_a=A.onehot_update(arena.df_a, slots, ok_new, seeds0.a),
+            df_b=A.onehot_update(arena.df_b, slots, ok_new, seeds0.b),
+            ray_o=A.onehot_update(arena.ray_o, slots, ok_new, jnp.broadcast_to(T_wc[:3, 3], (n_new_cap, 3))),
+            ray_d=A.onehot_update(arena.ray_d, slots, ok_new, d_w),
             parallax_last=A.onehot_update(arena.parallax_last, slots, ok_new, zeros_n),
             parallax_max=A.onehot_update(arena.parallax_max, slots, ok_new, zeros_n),
         )
@@ -338,7 +369,7 @@ class MonoVO:
             ),
         )
         tracks = tracks._replace(pts=pts1, valid=survived, scale=scale_prior)
-        tracks, arena, n_new = self._replenish(img, tracks, arena)
+        tracks, arena, n_new = self._replenish(img, tracks, arena, T_wc_new)
 
         # Keyframe rule.
         head = state.ring.head
@@ -449,7 +480,8 @@ class MonoVO:
         cosang = jnp.sum(r0 * r1w, axis=-1) / jnp.maximum(
             jnp.linalg.norm(r0, axis=-1) * jnp.linalg.norm(r1w, axis=-1), 1e-9
         )
-        par_ok = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0))) >= self.cfg.map.thres_parallax
+        par_deg = jnp.degrees(jnp.arccos(jnp.clip(cosang, -1.0, 1.0)))
+        par_ok = par_deg >= self.cfg.map.thres_parallax
         # Reprojection check in both views (1 px, mono_vo.cpp:1070).
         uv0 = cam_mod.project_to_pixel(self.cam, X0)
         uv1 = cam_mod.project_to_pixel(self.cam, X1)
@@ -459,10 +491,41 @@ class MonoVO:
         # World position: X0 is in first-observing-KF frame.
         T_wc0 = jax.vmap(geo.se3_inverse)(T0)
         Xw_new = jnp.einsum("mij,mj->mi", T_wc0[:, :3, :3], X0) + T_wc0[:, :3, 3]
+
+        # --- Recursive inverse-range depth filter (SVO-style; the algorithm
+        # the reference left unfinished at standalone/depth_filter) ---------
+        # Every geometrically-sane DLT result — including LOW-parallax ones
+        # that fail the instant-triangulation gate — feeds the seed on the
+        # landmark's birth ray; seeds whose posterior converges are promoted.
+        meas_ok = cand & depth_ok & reproj_ok & (par_deg >= 0.15)
+        r_meas = jnp.linalg.norm(Xw_new - arena.ray_o, axis=-1)
+        x_meas = 1.0 / jnp.maximum(r_meas, 1e-3)
+        c1 = -jnp.einsum("mij,mi->mj", T1[:, :3, :3], T1[:, :3, 3])  # newest-view centers
+        t_norm = jnp.linalg.norm(c1 - T_wc0[:, :3, 3], axis=-1)
+        tau2 = DF.measurement_tau2(X0[:, 2], t_norm, self.fx)
+        seeds = DF.DepthSeeds(
+            mu=arena.inv_depth,
+            sigma2=arena.inv_depth_var,
+            a=arena.df_a,
+            b=arena.df_b,
+            z_range=jnp.full((self.M,), 1.0 / self.cfg.map.min_depth, jnp.float32),
+        )
+        seeds = DF.update_seeds(seeds, x_meas, tau2, meas_ok)
+        promote = (
+            cand
+            & ~tri_ok
+            & DF.converged(seeds, self.cfg.map.df_converge_ratio)
+            & (DF.inlier_probability(seeds) > self.cfg.map.df_min_inlier_prob)
+        )
+        Xw_df = arena.ray_o + arena.ray_d / jnp.maximum(seeds.mu, 1e-4)[:, None]
+
         arena = arena._replace(
-            Xw=jnp.where(tri_ok[:, None], Xw_new, arena.Xw),
-            triangulated=arena.triangulated | tri_ok,
-            inv_depth=jnp.where(tri_ok, 1.0 / jnp.maximum(X0[:, 2], 1e-3), arena.inv_depth),
+            Xw=jnp.where(tri_ok[:, None], Xw_new, jnp.where(promote[:, None], Xw_df, arena.Xw)),
+            triangulated=arena.triangulated | tri_ok | promote,
+            inv_depth=jnp.where(tri_ok, x_meas, seeds.mu),
+            inv_depth_var=jnp.where(tri_ok, tau2, seeds.sigma2),
+            df_a=seeds.a,
+            df_b=seeds.b,
         )
 
         # --- Local BA ---
@@ -490,7 +553,7 @@ class MonoVO:
             alive=arena.alive & ~res.killed,
             bundled=arena.bundled | touched,
         )
-        n_tri = jnp.sum(tri_ok)
+        n_tri = jnp.sum(tri_ok | promote)
         return state._replace(T_wc=T_wc_new, ring=ring, arena=arena), res.mean_err_px, n_tri
 
     def _scan_steps_impl(self, state: MonoVOState, key, imgs):

@@ -58,8 +58,8 @@ def main(argv=None):
     from visual_odometry_ros_tpu.utils import geometry as geo
 
     vo = build_vo()
-    frames = make_frames(3, width=args.width, height=args.height)
-    (il0, ir0), (il1, ir1) = frames[0], frames[1]
+    ils, irs = make_frames(3, width=args.width, height=args.height)
+    il0, ir0, il1, ir1 = ils[0], irs[0], ils[1], irs[1]
     il0j, il1j, ir1j = (jnp.asarray(x, jnp.float32) for x in (il0, il1, ir1))
 
     N = args.features

@@ -45,6 +45,9 @@ def parse_args(argv=None):
     p.add_argument("--platform", default=None, help="force jax platform (cpu/axon)")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="capture a jax.profiler device trace of the run (view in xprof/tensorboard)")
+    p.add_argument("--batch", type=int, default=0, metavar="B",
+                   help="device-resident batching: scan B frames per device call "
+                        "(the serving path for remote/attached TPUs; 0 = per-frame)")
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
 
@@ -137,16 +140,10 @@ def main(argv=None):
         tracer = contextlib.ExitStack()
         tracer.enter_context(jax.profiler.trace(args.trace))
     t_start = time.perf_counter()
-    for ts, left, right in ds:
-        if args.frames is not None and n_done >= args.frames:
-            break
-        t0 = time.perf_counter()
-        if args.mode == "stereo":
-            T, stats = vo.track_stereo_images(left, right, ts)
-        else:
-            T, stats = vo.track_image(left, ts)
-        dt_ms = (time.perf_counter() - t0) * 1e3
-        rec = FrameRecord(
+
+    def record(stats, ts, dt_ms):
+        nonlocal n_done
+        slog.append(FrameRecord(
             frame=stats.get("frame", n_done),
             timestamp=ts,
             keyframe=bool(stats.get("keyframe")),
@@ -156,12 +153,44 @@ def main(argv=None):
                 n_final=stats.get("n_inliers", 0) or 0,
                 n_new=stats.get("n_new", 0) or 0,
             ),
-        )
-        slog.append(rec)
+        ))
         n_done += 1
         if not args.quiet and n_done % 25 == 0:
-            print(f"[{n_done}] t={ts:.2f} pos={np.round(T[:3, 3], 2)} "
-                  f"tracks={stats.get('n_inliers')} {dt_ms:.1f}ms", flush=True)
+            print(f"[{n_done}] t={ts:.2f} tracks={stats.get('n_inliers')} {dt_ms:.1f}ms",
+                  flush=True)
+
+    pend_ts, pend_l, pend_r = [], [], []
+
+    def flush_batch():
+        if not pend_ts:
+            return
+        t0 = time.perf_counter()
+        if args.mode == "stereo":
+            out = vo.track_stereo_batch(np.stack(pend_l), np.stack(pend_r))
+        else:
+            out = vo.track_batch(np.stack(pend_l))
+        dt_ms = (time.perf_counter() - t0) * 1e3 / max(len(out), 1)
+        for s_, ts_ in zip(out, pend_ts):
+            record(s_, ts_, dt_ms)
+        pend_ts.clear(); pend_l.clear(); pend_r.clear()
+
+    for ts, left, right in ds:
+        if args.frames is not None and n_done + len(pend_ts) >= args.frames:
+            break
+        # Mono batching only valid once bootstrapped (phase 2).
+        batch_ready = args.batch > 0 and (args.mode == "stereo" or getattr(vo, "phase", 2) == 2)
+        if batch_ready:
+            pend_ts.append(ts); pend_l.append(left); pend_r.append(right)
+            if len(pend_ts) >= args.batch:
+                flush_batch()
+            continue
+        t0 = time.perf_counter()
+        if args.mode == "stereo":
+            T, stats = vo.track_stereo_images(left, right, ts)
+        else:
+            T, stats = vo.track_image(left, ts)
+        record(stats, ts, (time.perf_counter() - t0) * 1e3)
+    flush_batch()
 
     wall = time.perf_counter() - t_start
     if tracer is not None:

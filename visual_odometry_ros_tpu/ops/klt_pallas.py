@@ -35,7 +35,7 @@ def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W
     S = 2 * radius + 1  # patch side
     SS = S + 1  # slice side (bilinear support)
 
-    def kernel(pts_ref, img0_ref, gx_ref, gy_ref, img1_ref, out_p1_ref, out_err_ref, out_ok_ref):
+    def kernel(pts_ref, img0_ref, gx_ref, gy_ref, img1_ref, out_ref):
         # pts_ref: [FPB, 4] SMEM rows (u0, v0, u1_init, v1_init)
         for f in range(_FPB):
             u0 = pts_ref[f, 0]
@@ -118,10 +118,12 @@ def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W
             I1p = bil(raw1, fu, fv)
             err = jnp.sum(jnp.abs(T - I1p)) / npix
 
-            out_p1_ref[f, 0] = u1f
-            out_p1_ref[f, 1] = v1f
-            out_err_ref[f] = err
-            out_ok_ref[f] = (in0 & eig_ok & in1).astype(jnp.int32)
+            # Single [FPB, 4] SMEM row: (u, v, err, ok). Mosaic rejects rank-1
+            # SMEM blocks smaller than the 128-lane tile, so outputs are packed.
+            out_ref[f, 0] = u1f
+            out_ref[f, 1] = v1f
+            out_ref[f, 2] = err
+            out_ref[f, 3] = (in0 & eig_ok & in1).astype(jnp.float32)
 
     return kernel
 
@@ -168,23 +170,19 @@ def track_level_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_FPB, 2), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_FPB,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((_FPB,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_FPB, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
         ],
     )
-    p1_out, err_out, ok_out = pl.pallas_call(
+    (out,) = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks * _FPB, 2), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks * _FPB,), jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks * _FPB,), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks * _FPB, 4), jnp.float32),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
     )(pts, img0, gx0, gy0, img1)
 
-    p1 = p1_out[:N]
-    err = err_out[:N]
-    live = valid & (ok_out[:N] > 0)
+    p1 = out[:N, :2]
+    err = out[:N, 2]
+    live = valid & (out[:N, 3] > 0.5)
     return p1, live, err

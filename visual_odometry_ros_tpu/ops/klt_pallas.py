@@ -3,14 +3,18 @@
 The jnp KLT (ops/klt.py) expresses patch extraction as XLA gathers, which
 lower poorly on TPU (serialized random access). This kernel keeps the whole
 pyramid level resident in VMEM and runs the inverse-compositional iteration
-with *dynamic slices* per feature: template patch + gradient patches sliced
-once, 2x2 normal equations accumulated on the VPU, then a fixed GN iteration
-loop that re-slices the target patch at the current integer offset and
-bilinearly interpolates with scalar weights.
+with per-feature *aligned dynamic slices*: Mosaic requires VMEM slice starts
+to be 8-aligned (sublanes) / 128-aligned (lanes), so each patch read loads an
+aligned [ROWS, COLS] slab around the point and rotates the residual offset
+away with `pltpu.roll` (dynamic rotate is a native VPU shuffle). Template
+patch + gradient patches are sliced once per feature; the fixed GN iteration
+loop re-slices the target patch at the current offset and bilinearly
+interpolates with scalar weights.
 
 Layout: grid = (N / FPB,) programs, FPB features per program (static Python
-loop inside); feature coordinates arrive via scalar prefetch (SMEM), outputs
-are per-feature (p1, err, ok).
+loop inside); feature coordinates arrive in SMEM, outputs are one packed
+[FPB, 4] SMEM row block (u, v, err, ok) — Mosaic rejects narrow rank-1 SMEM
+blocks.
 
 Matches `_track_one_level` in ops/klt.py (same math, same gates) so the
 pyramid driver can swap implementations; parity is tested in
@@ -31,9 +35,29 @@ from jax.experimental.pallas import tpu as pltpu
 _FPB = 8
 
 
-def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W: int):
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W: int,
+                  Hp: int, Wp: int):
     S = 2 * radius + 1  # patch side
     SS = S + 1  # slice side (bilinear support)
+    ROWS = _round_up(SS + 8, 8)  # aligned slab: covers any sublane phase
+    COLS = min(_round_up(SS + 128, 128), Wp)
+
+    def aligned_patch(ref, yc, xc):
+        """[SS, SS] patch at unaligned (yc, xc) via aligned load + roll.
+
+        yc in [0, Hp - SS], xc in [0, Wp - SS] (caller clips)."""
+        y_al = jnp.minimum((yc // 8) * 8, Hp - ROWS)
+        x_al = jnp.minimum((xc // 128) * 128, Wp - COLS)
+        py = yc - y_al  # 0..ROWS-SS
+        px = xc - x_al  # 0..COLS-SS
+        raw = ref[pl.ds(pl.multiple_of(y_al, 8), ROWS), pl.ds(pl.multiple_of(x_al, 128), COLS)]
+        raw = pltpu.roll(raw, -py, 0)[:SS, :]
+        raw = pltpu.roll(raw, -px, 1)[:, :SS]
+        return raw
 
     def kernel(pts_ref, img0_ref, gx_ref, gy_ref, img1_ref, out_ref):
         # pts_ref: [FPB, 4] SMEM rows (u0, v0, u1_init, v1_init)
@@ -48,16 +72,16 @@ def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W
             iv0 = jnp.floor(v0).astype(jnp.int32)
             fu0 = u0 - iu0.astype(jnp.float32)
             fv0 = v0 - iv0.astype(jnp.float32)
-            # In-bounds guard for the whole SSxSS support.
+            # In-bounds guard for the whole SSxSS support (true image extent).
             x0 = iu0 - radius
             y0 = iv0 - radius
             in0 = (x0 >= 0) & (y0 >= 0) & (x0 + SS <= W) & (y0 + SS <= H)
-            x0c = jnp.clip(x0, 0, W - SS)
-            y0c = jnp.clip(y0, 0, H - SS)
+            x0c = jnp.clip(x0, 0, Wp - SS)
+            y0c = jnp.clip(y0, 0, Hp - SS)
 
-            raw_t = img0_ref[pl.ds(y0c, SS), pl.ds(x0c, SS)]
-            raw_gx = gx_ref[pl.ds(y0c, SS), pl.ds(x0c, SS)]
-            raw_gy = gy_ref[pl.ds(y0c, SS), pl.ds(x0c, SS)]
+            raw_t = aligned_patch(img0_ref, y0c, x0c)
+            raw_gx = aligned_patch(gx_ref, y0c, x0c)
+            raw_gy = aligned_patch(gy_ref, y0c, x0c)
 
             def bil(raw, fu, fv):
                 return (
@@ -89,10 +113,9 @@ def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W
                 iv = jnp.floor(v1c).astype(jnp.int32)
                 fu = u1c - iu.astype(jnp.float32)
                 fv = v1c - iv.astype(jnp.float32)
-                xs = jnp.clip(iu - radius, 0, W - SS)
-                ys = jnp.clip(iv - radius, 0, H - SS)
-                raw1 = img1_ref[pl.ds(ys, SS), pl.ds(xs, SS)]
-                I1p = bil(raw1, fu, fv)
+                xs = jnp.clip(iu - radius, 0, Wp - SS)
+                ys = jnp.clip(iv - radius, 0, Hp - SS)
+                I1p = bil(aligned_patch(img1_ref, ys, xs), fu, fv)
                 e = T - I1p
                 bx = jnp.sum(gx * e)
                 by = jnp.sum(gy * e)
@@ -104,7 +127,9 @@ def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W
                 v1n = jnp.where(active, v1c + dv, v1c)
                 return u1n, v1n, conv | (step2 < eps * eps)
 
-            u1f, v1f, _ = jax.lax.fori_loop(0, iters, body, (u1, v1, jnp.logical_not(in0) | jnp.logical_not(eig_ok)))
+            u1f, v1f, _ = jax.lax.fori_loop(
+                0, iters, body, (u1, v1, jnp.logical_not(in0) | jnp.logical_not(eig_ok))
+            )
 
             # Final residual at the converged position.
             iu = jnp.floor(u1f).astype(jnp.int32)
@@ -112,10 +137,9 @@ def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W
             fu = u1f - iu.astype(jnp.float32)
             fv = v1f - iv.astype(jnp.float32)
             in1 = (iu - radius >= 0) & (iv - radius >= 0) & (iu - radius + SS <= W) & (iv - radius + SS <= H)
-            xs = jnp.clip(iu - radius, 0, W - SS)
-            ys = jnp.clip(iv - radius, 0, H - SS)
-            raw1 = img1_ref[pl.ds(ys, SS), pl.ds(xs, SS)]
-            I1p = bil(raw1, fu, fv)
+            xs = jnp.clip(iu - radius, 0, Wp - SS)
+            ys = jnp.clip(iv - radius, 0, Hp - SS)
+            I1p = bil(aligned_patch(img1_ref, ys, xs), fu, fv)
             err = jnp.sum(jnp.abs(T - I1p)) / npix
 
             # Single [FPB, 4] SMEM row: (u, v, err, ok). Mosaic rejects rank-1
@@ -158,7 +182,19 @@ def track_level_pallas(
     if pad:
         pts = jnp.pad(pts, ((0, pad), (0, 0)))
 
-    kernel = _level_kernel(radius, iters, eps, min_eig, H, W)
+    # Pad images so every aligned slab load is in bounds. Slabs are
+    # [ROWS >= SS+8, COLS multiple of 128], so Hp/Wp must cover them.
+    SS = 2 * radius + 2
+    Hp = max(_round_up(H, 8), _round_up(SS + 8, 8))
+    Wp = max(_round_up(W, 128), _round_up(SS + 128, 128))
+    if (Hp, Wp) != (H, W):
+        padspec = ((0, Hp - H), (0, Wp - W))
+        img0 = jnp.pad(img0, padspec)
+        gx0 = jnp.pad(gx0, padspec)
+        gy0 = jnp.pad(gy0, padspec)
+        img1 = jnp.pad(img1, padspec)
+
+    kernel = _level_kernel(radius, iters, eps, min_eig, H, W, Hp, Wp)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),

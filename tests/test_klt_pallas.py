@@ -62,3 +62,37 @@ def test_pallas_level_border_rejected(rng):
     )
     live = np.asarray(live)
     assert not live[0] and live[1]
+
+
+def test_scale_pallas_matches_jnp(rng):
+    from visual_odometry_ros_tpu.ops.klt_pallas import track_scale_pallas
+
+    img0 = _k._textured_image(rng)
+    dx, dy = 1.6, -1.1
+    img1 = _k._shift_image(img0, dx, dy)
+    p0 = _k._grid_points(*img0.shape)
+    N = len(p0)
+    valid = np.ones(N, bool)
+    scale = np.clip(rng.normal(1.0, 0.1, N), 0.8, 1.25).astype(np.float32)
+
+    gx, gy = scharr_gradients(jnp.asarray(img0))
+    p1_p, err_p, ok_p = track_scale_pallas(
+        jnp.asarray(img0), gx, gy, jnp.asarray(img1),
+        jnp.asarray(p0), jnp.asarray(p0), jnp.asarray(scale), jnp.asarray(valid),
+        radius=11, iters=20, interpret=True,
+    )
+    p1_j, ok_j = klt.track_with_scale(
+        jnp.asarray(img0), gx, gy, jnp.asarray(img1),
+        jnp.asarray(p0), jnp.asarray(p0), jnp.asarray(scale), jnp.asarray(valid),
+        radius=11, iters=20,
+    )
+    ok_p = np.asarray(ok_p)
+    ok_j = np.asarray(ok_j)
+    both = ok_p & ok_j
+    assert both.sum() > 0.6 * N
+    # Both implementations recover the shift (checkerboard vs full patch
+    # differ slightly; each must land on the true flow).
+    d_p = np.asarray(p1_p)[both] - p0[both]
+    np.testing.assert_allclose(np.median(d_p, 0), [dx, dy], atol=0.25)
+    d_j = np.asarray(p1_j)[both] - p0[both]
+    np.testing.assert_allclose(np.median(d_p, 0), np.median(d_j, 0), atol=0.2)

@@ -266,7 +266,8 @@ class StereoVO:
         # [4-1] scale-compensated refinement.
         du0, dv0 = scharr_gradients(state.img_prev)
         pts1_ref, ok_scale = KLT.track_with_scale(
-            state.img_prev, du0, dv0, img_l, tracks.pts, pts1, scale_prior, ok_track
+            state.img_prev, du0, dv0, img_l, tracks.pts, pts1, scale_prior, ok_track,
+            use_pallas=self.klt_params.use_pallas,
         )
         pts1 = jnp.where(ok_scale[:, None], pts1_ref, pts1)
 

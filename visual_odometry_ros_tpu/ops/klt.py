@@ -230,7 +230,7 @@ def track_bidirectional(
     return p1, ok
 
 
-@partial(jax.jit, static_argnames=("radius", "iters"))
+@partial(jax.jit, static_argnames=("radius", "iters", "use_pallas"))
 def track_with_scale(
     img0: jax.Array,
     du0: jax.Array,
@@ -243,6 +243,7 @@ def track_with_scale(
     radius: int = 11,
     iters: int = 30,
     max_err: float = 30.0,
+    use_pallas: bool = False,
 ):
     """Scale-compensated single-level IC-KLT refinement (reference
     `trackWithScale`, feature_tracker.cpp:236-504): a checkerboard-subsampled
@@ -253,6 +254,16 @@ def track_with_scale(
     scale_change: [N] patch scale ratio (d_prev/d_curr per the reference prior).
     Returns (p1 [N, 2], mask [N]).
     """
+    if use_pallas:
+        from .klt_pallas import track_scale_pallas
+
+        p1, err, ok = track_scale_pallas(
+            img0, du0, dv0, img1, p0, p1_init, scale_change, valid,
+            radius=radius, iters=iters,
+        )
+        ok = ok & (err < max_err) & _in_border(p1, img1.shape, 3.0)
+        return p1, ok
+
     base_off = _patch_offsets(radius, checkerboard=True)  # [P, 2]
     offs = base_off[None, :, :] * scale_change[:, None, None]  # [N, P, 2]
 

@@ -222,3 +222,182 @@ def track_level_pallas(
     err = out[:N, 2]
     live = valid & (out[:N, 3] > 0.5)
     return p1, live, err
+
+
+# ---------------------------------------------------------------------------
+# Scale-compensated refinement (trackWithScale) kernel
+# ---------------------------------------------------------------------------
+#
+# The reference's trackWithScale (feature_tracker.cpp:236-504) samples a
+# patch whose grid is scaled per-feature by the predicted depth ratio. A
+# scaled bilinear resample is separable, so the kernel expresses it as two
+# hat-weight matrix products: patch = Ry @ slab @ Cx^T, where slab is one
+# aligned VMEM block loaded per feature and Ry/Cx are built on the fly from
+# iota comparisons. Patch extraction thus rides the MXU instead of gathers.
+# The slab is loaded ONCE per feature (with drift margin); GN iterations only
+# rebuild the [S, ROWS]/[S, COLS] weight matrices.
+
+_SCALE_MAX = 2.0  # kernel slab sized for scale_change in [1/_SCALE_MAX, _SCALE_MAX]
+
+
+def _scale_kernel(radius: int, iters: int, H: int, W: int, Hp: int, Wp: int):
+    S = 2 * radius + 1
+    ext = int(np.ceil(radius * _SCALE_MAX)) + 1  # max half-extent + bilinear
+    MARGIN = 6  # allowed refinement drift in px
+    ROWS = _round_up(2 * (ext + MARGIN) + 2, 8)
+    COLS = min(_round_up(2 * (ext + MARGIN) + 2 + 128, 128), Wp)
+
+    def hat(center, scale, size):
+        """[S, size] bilinear hat weights: row i samples center + scale*(i-r)."""
+        i = jax.lax.broadcasted_iota(jnp.float32, (S, size), 0)
+        k = jax.lax.broadcasted_iota(jnp.float32, (S, size), 1)
+        y = center + scale * (i - radius)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(y - k))
+
+    def kernel(pts_ref, img0_ref, gx_ref, gy_ref, img1_ref, out_ref):
+        # pts_ref: [FPB, 8] SMEM rows (u0, v0, u1, v1, scale, _, _, _)
+        for f in range(_FPB):
+            u0 = pts_ref[f, 0]
+            v0 = pts_ref[f, 1]
+            u1 = pts_ref[f, 2]
+            v1 = pts_ref[f, 3]
+            sc = pts_ref[f, 4]
+
+            def slab_at(ref, vc, uc):
+                yc = jnp.clip(jnp.floor(vc).astype(jnp.int32) - ROWS // 2, 0, Hp - ROWS)
+                xc = jnp.clip(jnp.floor(uc).astype(jnp.int32) - COLS // 2, 0, Wp - COLS)
+                y_al = pl.multiple_of((yc // 8) * 8, 8)
+                x_al = pl.multiple_of((xc // 128) * 128, 128)
+                return ref[pl.ds(y_al, ROWS), pl.ds(x_al, COLS)], y_al, x_al
+
+            # Template slabs + scaled template/gradient patches at p0.
+            t_slab, ty, tx = slab_at(img0_ref, v0, u0)
+            gx_slab, _, _ = slab_at(gx_ref, v0, u0)
+            gy_slab, _, _ = slab_at(gy_ref, v0, u0)
+            Ry0 = hat(v0 - ty.astype(jnp.float32), sc, ROWS)
+            Cx0 = hat(u0 - tx.astype(jnp.float32), sc, COLS)
+            T = jnp.dot(jnp.dot(Ry0, t_slab), Cx0.T)
+            gx = jnp.dot(jnp.dot(Ry0, gx_slab), Cx0.T)
+            gy = jnp.dot(jnp.dot(Ry0, gy_slab), Cx0.T)
+
+            half = sc * radius + 1.0
+            in0 = (u0 - half >= 0) & (v0 - half >= 0) & (u0 + half < W) & (v0 + half < H)
+
+            gxx = jnp.sum(gx * gx)
+            gxy = jnp.sum(gx * gy)
+            gyy = jnp.sum(gy * gy)
+            det = gxx * gyy - gxy * gxy
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+
+            # Target slab loaded once around the prior; iterations re-weight.
+            s_slab, sy, sx = slab_at(img1_ref, v1, u1)
+            syf = sy.astype(jnp.float32)
+            sxf = sx.astype(jnp.float32)
+
+            def body(_, carry):
+                u1c, v1c, conv = carry
+                Ry = hat(v1c - syf, sc, ROWS)
+                Cx = hat(u1c - sxf, sc, COLS)
+                I1p = jnp.dot(jnp.dot(Ry, s_slab), Cx.T)
+                e = T - I1p
+                bx = jnp.sum(gx * e)
+                by = jnp.sum(gy * e)
+                du = (gyy * bx - gxy * by) * inv_det
+                dv = (gxx * by - gxy * bx) * inv_det
+                active = jnp.logical_not(conv)
+                u1n = jnp.where(active, u1c + du, u1c)
+                v1n = jnp.where(active, v1c + dv, v1c)
+                return u1n, v1n, conv | (du * du + dv * dv < 1e-4)
+
+            u1f, v1f, _ = jax.lax.fori_loop(
+                0, iters, body, (u1, v1, jnp.logical_not(in0))
+            )
+
+            Ry = hat(v1f - syf, sc, ROWS)
+            Cx = hat(u1f - sxf, sc, COLS)
+            I1p = jnp.dot(jnp.dot(Ry, s_slab), Cx.T)
+            err = jnp.sum(jnp.abs(T - I1p)) / float(S * S)
+
+            halfd = sc * radius + 1.0
+            in1 = (
+                (u1f - halfd >= 0) & (v1f - halfd >= 0)
+                & (u1f + halfd < W) & (v1f + halfd < H)
+                # drift stayed inside the preloaded slab
+                & (jnp.abs(u1f - u1) < MARGIN) & (jnp.abs(v1f - v1) < MARGIN)
+            )
+            out_ref[f, 0] = u1f
+            out_ref[f, 1] = v1f
+            out_ref[f, 2] = err
+            out_ref[f, 3] = (in0 & in1).astype(jnp.float32)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("radius", "iters", "interpret"))
+def track_scale_pallas(
+    img0: jax.Array,
+    du0: jax.Array,
+    dv0: jax.Array,
+    img1: jax.Array,
+    p0: jax.Array,
+    p1_init: jax.Array,
+    scale_change: jax.Array,
+    valid: jax.Array,
+    radius: int = 11,
+    iters: int = 30,
+    interpret: bool = False,
+):
+    """Scale-compensated IC-KLT refinement as a Pallas kernel.
+
+    Returns (p1 [N, 2], err [N], ok [N]); semantics match ops/klt
+    track_with_scale with a full (non-checkerboard) patch — the reference
+    subsamples only as a CPU shortcut. scale_change is clamped to the slab
+    budget [1/2, 2]."""
+    N = p0.shape[0]
+    H, W = img0.shape
+    n_blocks = -(-N // _FPB)
+    pad = n_blocks * _FPB - N
+
+    sc = jnp.clip(scale_change, 1.0 / _SCALE_MAX, _SCALE_MAX)
+    pts = jnp.concatenate(
+        [p0, p1_init, sc[:, None], jnp.zeros((N, 3), jnp.float32)], axis=-1
+    )  # [N, 8]
+    if pad:
+        pts = jnp.pad(pts, ((0, pad), (0, 0)))
+
+    SS = 2 * (int(np.ceil(radius * _SCALE_MAX)) + 7) + 2
+    Hp = max(_round_up(H, 8), _round_up(SS + 8, 8))
+    Wp = max(_round_up(W, 128), _round_up(SS + 128, 128))
+    if (Hp, Wp) != (H, W):
+        padspec = ((0, Hp - H), (0, Wp - W))
+        img0 = jnp.pad(img0, padspec)
+        du0 = jnp.pad(du0, padspec)
+        dv0 = jnp.pad(dv0, padspec)
+        img1 = jnp.pad(img1, padspec)
+
+    kernel = _scale_kernel(radius, iters, H, W, Hp, Wp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((_FPB, 8), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_FPB, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+        ],
+    )
+    (out,) = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((n_blocks * _FPB, 4), jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(pts, img0, du0, dv0, img1)
+
+    p1 = out[:N, :2]
+    err = out[:N, 2]
+    ok = valid & (out[:N, 3] > 0.5)
+    return p1, err, ok

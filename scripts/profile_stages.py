@@ -21,7 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timeit(fn, args, n=20, warmup=2):
+def timeit(fn, args, n=20, warmup=2, name=""):
     import jax
 
     for _ in range(warmup):
@@ -31,7 +31,10 @@ def timeit(fn, args, n=20, warmup=2):
     for _ in range(n):
         out = fn(*args)
     jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3
+    ms = (time.perf_counter() - t0) / n * 1e3
+    if name:
+        print(f"{name:20s} {ms:9.3f} ms", flush=True)
+    return ms
 
 
 def main(argv=None):
@@ -74,27 +77,29 @@ def main(argv=None):
     results = {}
     # Stage: pyramid+gradients
     pyr_fn = jax.jit(lambda im: build_pyramid_with_gradients(im, vo.klt_params.levels))
-    results["pyramid_grad"] = timeit(pyr_fn, (il1j,))
+    results["pyramid_grad"] = timeit(pyr_fn, (il1j,), name="pyramid_grad")
     # Stage: forward KLT
     results["klt_track"] = timeit(
         lambda a, b, p, v: KLT.track_with_prior(a, b, p, p, v, vo.klt_params),
-        (il0j, il1j, pts, valid),
+        (il0j, il1j, pts, valid), name="klt_track",
     )
     # Stage: bidirectional KLT (stereo match analog)
     results["klt_bidir"] = timeit(
         lambda a, b, p, v: KLT.track_bidirectional(a, b, p, p, v, vo.klt_params),
-        (il1j, ir1j, pts, valid),
+        (il1j, ir1j, pts, valid), name="klt_bidir",
     )
     # Stage: scale-compensated refinement
     gx, gy = jax.jit(scharr_gradients)(il0j)
     results["klt_scale"] = timeit(
-        lambda a, g1, g2, b, p, v: KLT.track_with_scale(a, g1, g2, b, p, p, jnp.ones((N,)), v),
-        (il0j, gx, gy, il1j, pts, valid),
+        lambda a, g1, g2, b, p, v: KLT.track_with_scale(
+            a, g1, g2, b, p, p, jnp.ones((N,)), v, use_pallas=vo.klt_params.use_pallas
+        ),
+        (il0j, gx, gy, il1j, pts, valid), name="klt_scale",
     )
     # Stage: detection
     results["detect"] = timeit(
         lambda im, p, v: F.detect_features(im, p, v, gh=12, gw=24, n_max=N // 2),
-        (il1j, pts, valid),
+        (il1j, pts, valid), name="detect",
     )
     # Stage: pose GN stereo
     X0 = jnp.asarray(
@@ -108,16 +113,14 @@ def main(argv=None):
         lambda x, a, b, v: PG.pose_only_gn_stereo(
             x, a, b, v, v, 718.0, 718.0, 607.0, 185.0, jnp.asarray(vo.T_rl), jnp.eye(4), vo.pose_params
         ),
-        (X0, pl, pl, valid),
+        (X0, pl, pl, valid), name="pose_gn_stereo",
     )
     # Stage: full steady step
     state = vo._first_frame(il0j, jnp.asarray(ir0, jnp.float32))
-    results["steady_step_full"] = timeit(
-        lambda s, a, b: vo._steady_step(s, a, b), (state, il1j, ir1j), n=10
-    )
+    results["steady_step_full"] = timeit(lambda s, a, b: vo._steady_step(s, a, b), (state, il1j, ir1j), n=10, name="steady_step_full")
     # Stage: keyframe + BA
     state2, _ = vo._steady_step(state, il1j, ir1j)
-    results["keyframe_ba"] = timeit(lambda s: vo._keyframe_step(s), (state2,), n=5)
+    results["keyframe_ba"] = timeit(lambda s: vo._keyframe_step(s), (state2,), n=5, name="keyframe_ba")
 
     for k, v in results.items():
         print(f"{k:20s} {v:9.3f} ms")

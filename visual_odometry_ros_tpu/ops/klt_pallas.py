@@ -249,8 +249,9 @@ def _scale_kernel(radius: int, iters: int, H: int, W: int, Hp: int, Wp: int):
 
     def hat(center, scale, size):
         """[S, size] bilinear hat weights: row i samples center + scale*(i-r)."""
-        i = jax.lax.broadcasted_iota(jnp.float32, (S, size), 0)
-        k = jax.lax.broadcasted_iota(jnp.float32, (S, size), 1)
+        # Mosaic's tpu.iota is integer-only; build int32 grids and cast.
+        i = jax.lax.broadcasted_iota(jnp.int32, (S, size), 0).astype(jnp.float32)
+        k = jax.lax.broadcasted_iota(jnp.int32, (S, size), 1).astype(jnp.float32)
         y = center + scale * (i - radius)
         return jnp.maximum(0.0, 1.0 - jnp.abs(y - k))
 

@@ -107,8 +107,15 @@ def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W
             det = gxx * gyy - gxy * gxy
             inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
 
-            def body(_, carry):
-                u1c, v1c, conv = carry
+            # Early-exit GN: prior-seeded features converge in a few steps, so
+            # a while_loop skips the remaining slab loads entirely (the fori
+            # variant still pays every iteration's VMEM traffic).
+            def w_cond(carry):
+                _, _, conv, it = carry
+                return jnp.logical_not(conv) & (it < iters)
+
+            def w_body(carry):
+                u1c, v1c, conv, it = carry
                 iu = jnp.floor(u1c).astype(jnp.int32)
                 iv = jnp.floor(v1c).astype(jnp.int32)
                 fu = u1c - iu.astype(jnp.float32)
@@ -122,13 +129,13 @@ def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W
                 du = (gyy * bx - gxy * by) * inv_det
                 dv = (gxx * by - gxy * bx) * inv_det
                 step2 = du * du + dv * dv
-                active = jnp.logical_not(conv)
-                u1n = jnp.where(active, u1c + du, u1c)
-                v1n = jnp.where(active, v1c + dv, v1c)
-                return u1n, v1n, conv | (step2 < eps * eps)
+                return u1c + du, v1c + dv, step2 < eps * eps, it + 1
 
-            u1f, v1f, _ = jax.lax.fori_loop(
-                0, iters, body, (u1, v1, jnp.logical_not(in0) | jnp.logical_not(eig_ok))
+            u1f, v1f, _, _ = jax.lax.while_loop(
+                w_cond,
+                w_body,
+                (u1, v1, jnp.logical_not(in0) | jnp.logical_not(eig_ok),
+                 jnp.asarray(0, jnp.int32)),
             )
 
             # Final residual at the converged position.
@@ -295,8 +302,12 @@ def _scale_kernel(radius: int, iters: int, H: int, W: int, Hp: int, Wp: int):
             syf = sy.astype(jnp.float32)
             sxf = sx.astype(jnp.float32)
 
-            def body(_, carry):
-                u1c, v1c, conv = carry
+            def w_cond(carry):
+                _, _, conv, it = carry
+                return jnp.logical_not(conv) & (it < iters)
+
+            def w_body(carry):
+                u1c, v1c, conv, it = carry
                 Ry = hat(v1c - syf, sc, ROWS)
                 Cx = hat(u1c - sxf, sc, COLS)
                 I1p = jnp.dot(jnp.dot(Ry, s_slab), Cx.T)
@@ -305,13 +316,11 @@ def _scale_kernel(radius: int, iters: int, H: int, W: int, Hp: int, Wp: int):
                 by = jnp.sum(gy * e)
                 du = (gyy * bx - gxy * by) * inv_det
                 dv = (gxx * by - gxy * bx) * inv_det
-                active = jnp.logical_not(conv)
-                u1n = jnp.where(active, u1c + du, u1c)
-                v1n = jnp.where(active, v1c + dv, v1c)
-                return u1n, v1n, conv | (du * du + dv * dv < 1e-4)
+                return u1c + du, v1c + dv, du * du + dv * dv < 1e-4, it + 1
 
-            u1f, v1f, _ = jax.lax.fori_loop(
-                0, iters, body, (u1, v1, jnp.logical_not(in0))
+            u1f, v1f, _, _ = jax.lax.while_loop(
+                w_cond, w_body,
+                (u1, v1, jnp.logical_not(in0), jnp.asarray(0, jnp.int32)),
             )
 
             Ry = hat(v1f - syf, sc, ROWS)

@@ -60,12 +60,13 @@ def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W
         return raw
 
     def kernel(pts_ref, img0_ref, gx_ref, gy_ref, img1_ref, out_ref):
-        # pts_ref: [FPB, 4] SMEM rows (u0, v0, u1_init, v1_init)
+        # pts_ref: [FPB, 8] SMEM rows (u0, v0, u1_init, v1_init, valid, 0, 0, 0)
         for f in range(_FPB):
             u0 = pts_ref[f, 0]
             v0 = pts_ref[f, 1]
             u1 = pts_ref[f, 2]
             v1 = pts_ref[f, 3]
+            lane_ok = pts_ref[f, 4] > 0.5  # dead lanes exit the GN loop at once
 
             # Template patch anchored at the integer part of p0.
             iu0 = jnp.floor(u0).astype(jnp.int32)
@@ -134,7 +135,7 @@ def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W
             u1f, v1f, _, _ = jax.lax.while_loop(
                 w_cond,
                 w_body,
-                (u1, v1, jnp.logical_not(in0) | jnp.logical_not(eig_ok),
+                (u1, v1, jnp.logical_not(in0 & eig_ok & lane_ok),
                  jnp.asarray(0, jnp.int32)),
             )
 
@@ -185,7 +186,10 @@ def track_level_pallas(
     n_blocks = -(-N // _FPB)
     pad = n_blocks * _FPB - N
 
-    pts = jnp.concatenate([p0, p1_init], axis=-1)  # [N, 4]
+    pts = jnp.concatenate(
+        [p0, p1_init, valid[:, None].astype(jnp.float32), jnp.zeros((N, 3), jnp.float32)],
+        axis=-1,
+    )  # [N, 8]
     if pad:
         pts = jnp.pad(pts, ((0, pad), (0, 0)))
 
@@ -206,7 +210,7 @@ def track_level_pallas(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((_FPB, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_FPB, 8), lambda i: (i, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -270,6 +274,7 @@ def _scale_kernel(radius: int, iters: int, H: int, W: int, Hp: int, Wp: int):
             u1 = pts_ref[f, 2]
             v1 = pts_ref[f, 3]
             sc = pts_ref[f, 4]
+            lane_ok = pts_ref[f, 5] > 0.5
 
             def slab_at(ref, vc, uc):
                 yc = jnp.clip(jnp.floor(vc).astype(jnp.int32) - ROWS // 2, 0, Hp - ROWS)
@@ -320,7 +325,7 @@ def _scale_kernel(radius: int, iters: int, H: int, W: int, Hp: int, Wp: int):
 
             u1f, v1f, _, _ = jax.lax.while_loop(
                 w_cond, w_body,
-                (u1, v1, jnp.logical_not(in0), jnp.asarray(0, jnp.int32)),
+                (u1, v1, jnp.logical_not(in0 & lane_ok), jnp.asarray(0, jnp.int32)),
             )
 
             Ry = hat(v1f - syf, sc, ROWS)
@@ -370,7 +375,8 @@ def track_scale_pallas(
 
     sc = jnp.clip(scale_change, 1.0 / _SCALE_MAX, _SCALE_MAX)
     pts = jnp.concatenate(
-        [p0, p1_init, sc[:, None], jnp.zeros((N, 3), jnp.float32)], axis=-1
+        [p0, p1_init, sc[:, None], valid[:, None].astype(jnp.float32),
+         jnp.zeros((N, 2), jnp.float32)], axis=-1
     )  # [N, 8]
     if pad:
         pts = jnp.pad(pts, ((0, pad), (0, 0)))

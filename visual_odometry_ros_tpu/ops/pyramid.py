@@ -8,29 +8,45 @@ static; levels is a Python int so each level is its own traced array.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 # 5-tap binomial (Gaussian approx) used for pyramid antialiasing.
-_K5 = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+_K5 = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
 # Scharr 3-tap pair: smoothing [3, 10, 3]/16 and central difference [-1, 0, 1]/2.
-_SCHARR_S = jnp.array([3.0, 10.0, 3.0], jnp.float32) / 16.0
-_SCHARR_D = jnp.array([-1.0, 0.0, 1.0], jnp.float32) * 0.5
+_SCHARR_S = np.array([3.0, 10.0, 3.0], np.float32) / 16.0
+_SCHARR_D = np.array([-1.0, 0.0, 1.0], np.float32) * 0.5
 
 
-def _sep_conv(img: jax.Array, kh: jax.Array, kw: jax.Array) -> jax.Array:
-    """Separable 2D convolution with edge replication. img: [H, W]."""
-    x = img[None, None, :, :]
-    ph = kh.shape[0] // 2
-    pw = kw.shape[0] // 2
-    x = jnp.pad(x, ((0, 0), (0, 0), (ph, ph), (pw, pw)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x, kh.reshape(1, 1, -1, 1), (1, 1), "VALID", preferred_element_type=jnp.float32
-    )
-    x = jax.lax.conv_general_dilated(
-        x, kw.reshape(1, 1, 1, -1), (1, 1), "VALID", preferred_element_type=jnp.float32
-    )
-    return x[0, 0]
+def _sep_conv(img: jax.Array, kh, kw) -> jax.Array:
+    """Separable 2D convolution with edge replication. img: [H, W].
+
+    Implemented as shift-and-FMA over statically sliced views: on TPU a
+    single-channel spatial conv lowers poorly (channel padding to the MXU),
+    while K shifted adds are pure VPU work that XLA fuses into ~one pass
+    over the image. Taps are Python floats so zero taps drop at trace time.
+    """
+    H, W = img.shape
+    kh = np.asarray(kh).tolist()
+    kw = np.asarray(kw).tolist()
+    ph = len(kh) // 2
+    pw = len(kw) // 2
+    x = jnp.pad(img, ((ph, ph), (0, 0)), mode="edge")
+    acc = None
+    for i, w in enumerate(kh):
+        if w == 0.0:
+            continue
+        t = x[i : i + H, :] * w
+        acc = t if acc is None else acc + t
+    x = jnp.pad(acc, ((0, 0), (pw, pw)), mode="edge")
+    acc = None
+    for j, w in enumerate(kw):
+        if w == 0.0:
+            continue
+        t = x[:, j : j + W] * w
+        acc = t if acc is None else acc + t
+    return acc
 
 
 def gaussian_blur5(img: jax.Array) -> jax.Array:
@@ -64,5 +80,5 @@ def build_pyramid_with_gradients(img: jax.Array, levels: int):
 
 
 def box_filter(img: jax.Array, radius: int) -> jax.Array:
-    k = jnp.ones((2 * radius + 1,), jnp.float32) / (2 * radius + 1)
+    k = np.ones((2 * radius + 1,), np.float32) / (2 * radius + 1)
     return _sep_conv(img, k, k)

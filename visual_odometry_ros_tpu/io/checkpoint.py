@@ -77,7 +77,7 @@ def load_vo(path: str, vo) -> None:
 
         if hasattr(vo, "init_state"):
             h, w = vo.cfg.cam.height, vo.cfg.cam.width
-            vo.state = vo.init_state(jnp.zeros((h, w), jnp.float32))
+            vo.state = vo.init_state(vo._build_pyr(jnp.zeros((h, w), jnp.float32)))
         else:
             h, w = vo.cfg.cam.height, vo.cfg.cam.width
             vo.state = vo._first_frame(jnp.zeros((h, w), jnp.float32))

@@ -38,7 +38,7 @@ from ..ops import features as F
 from ..ops import klt as KLT
 from ..ops import pose_gn as PG
 from ..ops import triangulate as TRI
-from ..ops.pyramid import scharr_gradients
+from ..ops.pyramid import build_pyramid_with_gradients
 from ..utils import geometry as geo
 
 
@@ -49,8 +49,8 @@ class MonoVOState(NamedTuple):
     tracks: A.TrackState
     arena: A.LandmarkArena
     ring: A.KeyframeRing
-    img_prev: jax.Array
-    img_first: jax.Array  # init-phase anchor image
+    pyr_prev: tuple  # previous-frame gradient pyramid ((img, gx, gy), ...)
+    pyr_first: tuple  # init-phase anchor pyramid
     init_pts0: jax.Array  # [N, 2] detection positions in the first frame
     frame_id: jax.Array
 
@@ -117,7 +117,11 @@ class MonoVO:
             score_min=cfg.extractor.score_min,
         )
 
+    def _build_pyr(self, img):
+        return build_pyramid_with_gradients(img, self.klt_params.levels)
+
     def _first_frame_impl(self, img):
+        pyr = self._build_pyr(img)
         tracks = A.make_tracks(self.N)
         pts, ok = self._detect(img, tracks.pts, tracks.valid, self.N)
         tracks = tracks._replace(pts=pts, valid=ok)
@@ -128,8 +132,8 @@ class MonoVO:
             tracks=tracks,
             arena=A.make_arena(self.M),
             ring=A.make_ring(self.K, self.N),
-            img_prev=img,
-            img_first=img,
+            pyr_prev=pyr,
+            pyr_first=pyr,
             init_pts0=pts,
             frame_id=jnp.asarray(1, jnp.int32),
         )
@@ -137,16 +141,18 @@ class MonoVO:
     def _init_track_impl(self, state: MonoVOState, img):
         """Track first-frame detections into the current image; report median
         pixel displacement (init readiness signal)."""
-        pts1, ok = KLT.track_bidirectional(
-            state.img_first, img, state.init_pts0, state.tracks.pts, state.tracks.valid, self.klt_params
+        pyr = self._build_pyr(img)
+        pts1, ok = KLT.track_bidirectional_pyr(
+            state.pyr_first, pyr, state.init_pts0, state.tracks.pts, state.tracks.valid,
+            self.klt_params, back_levels=1
         )
         disp = jnp.linalg.norm(pts1 - state.init_pts0, axis=-1)
         med_disp = jnp.nanmedian(jnp.where(ok, disp, jnp.nan))
         tracks = state.tracks._replace(pts=pts1, valid=ok)
-        new_state = state._replace(tracks=tracks, img_prev=img, frame_id=state.frame_id + 1)
+        new_state = state._replace(tracks=tracks, pyr_prev=pyr, frame_id=state.frame_id + 1)
         return new_state, med_disp, jnp.sum(ok)
 
-    def _init_bootstrap_impl(self, state: MonoVOState, img, key):
+    def _init_bootstrap_impl(self, state: MonoVOState, key):
         """5-point init between first frame and current (mono_vo.cpp:525-696):
         R, t from essential (||t||=1), DLT triangulation, landmark creation,
         two keyframes pushed."""
@@ -228,7 +234,6 @@ class MonoVO:
             tracks=tracks,
             arena=arena,
             ring=ring,
-            img_prev=img,
         )
         return new_state, res.ok, jnp.sum(ok_new)
 
@@ -282,6 +287,7 @@ class MonoVO:
         cfg = self.cfg
         tracks = state.tracks
         arena = state.arena
+        pyr = self._build_pyr(img)
 
         T_wc_prior = state.T_wc @ state.dT
         T_cw_prior = geo.se3_inverse(T_wc_prior)
@@ -295,12 +301,13 @@ class MonoVO:
         prior_pts = jnp.where((has_3d & (prior_depth > 0.1))[:, None], prior_pts, tracks.pts)
 
         # Bidirectional prior-seeded KLT (reference trackBidirectionWithPrior).
-        pts1, ok_track = KLT.track_bidirectional(
-            state.img_prev, img, tracks.pts, prior_pts, tracks.valid, self.klt_params, fb_scale=5.0
+        pts1, ok_track = KLT.track_bidirectional_pyr(
+            state.pyr_prev, pyr, tracks.pts, prior_pts, tracks.valid, self.klt_params,
+            fb_scale=5.0, back_levels=1
         )
-        du0, dv0 = scharr_gradients(state.img_prev)
+        img_prev, du0, dv0 = state.pyr_prev[0]
         pts1_ref, ok_scale = KLT.track_with_scale(
-            state.img_prev, du0, dv0, img, tracks.pts, pts1, scale_prior, ok_track,
+            img_prev, du0, dv0, img, tracks.pts, pts1, scale_prior, ok_track,
             use_pallas=self.klt_params.use_pallas,
         )
         pts1 = jnp.where(ok_scale[:, None], pts1_ref, pts1)
@@ -399,7 +406,7 @@ class MonoVO:
             step_len=jnp.where(pose_ok, step_len, state.step_len),
             tracks=tracks,
             arena=arena,
-            img_prev=img,
+            pyr_prev=pyr,
             frame_id=state.frame_id + 1,
         )
         scalars = dict(
@@ -660,7 +667,7 @@ class MonoVO:
             # 5-point solve (displacement proxy for parallax).
             if med_disp > 20.0 and int(n_ok) > 60:
                 self._key, sub = jax.random.split(self._key)
-                self.state, ok, n_lm = self._init_bootstrap(self.state, im, sub)
+                self.state, ok, n_lm = self._init_bootstrap(self.state, sub)
                 if bool(ok):
                     self.phase = 2
                     stats["phase"] = "bootstrapped"

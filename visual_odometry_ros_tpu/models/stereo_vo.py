@@ -37,7 +37,7 @@ from ..ops import ba as BA
 from ..ops import depth_filter as DF
 from ..ops import features as F
 from ..ops import klt as KLT
-from ..ops.pyramid import scharr_gradients
+from ..ops.pyramid import build_pyramid_with_gradients
 from ..ops import pose_gn as PG
 from ..utils import geometry as geo
 
@@ -50,7 +50,7 @@ class StereoVOState(NamedTuple):
     tracks_r_valid: jax.Array  # [N]
     arena: A.LandmarkArena
     ring: A.KeyframeRing
-    img_prev: jax.Array  # [H, W] previous rectified left image
+    pyr_prev: tuple  # previous left gradient pyramid ((img, gx, gy), ...)
     frame_id: jax.Array  # int32
 
 
@@ -129,7 +129,7 @@ class StereoVO:
     # jit bodies
     # ------------------------------------------------------------------
 
-    def init_state(self, img: jax.Array) -> StereoVOState:
+    def init_state(self, pyr) -> StereoVOState:
         return StereoVOState(
             T_wc=jnp.eye(4, dtype=jnp.float32),
             dT=jnp.eye(4, dtype=jnp.float32),
@@ -138,19 +138,32 @@ class StereoVO:
             tracks_r_valid=jnp.zeros((self.N,), bool),
             arena=A.make_arena(self.M),
             ring=A.make_ring(self.K, self.N),
-            img_prev=img,
+            pyr_prev=pyr,
             frame_id=jnp.asarray(0, jnp.int32),
         )
 
-    def _stereo_match(self, img_l, img_r, pts_l, valid, depth_prior=None):
-        """Static stereo matching: prior-seeded bidirectional KLT along the
-        epipolar line (rectified -> prior = disparity shift)."""
+    def _build_pyr(self, img):
+        return build_pyramid_with_gradients(img, self.klt_params.levels)
+
+    def _stereo_match(self, pyr_l, pyr_r, pts_l, valid, depth_prior=None, bidir=True):
+        """Static stereo matching: prior-seeded KLT along the epipolar line
+        (rectified -> prior = disparity shift). New features (no depth) get
+        the bidirectional check; tracked features with a depth prior use the
+        forward-only pass, matching the reference's steady step [5]
+        (trackWithPrior, stereo_vo.cpp:563-569)."""
         if depth_prior is None:
             disp = jnp.full(pts_l.shape[:1], 8.0)
         else:
             disp = self.fx * self.baseline / jnp.maximum(depth_prior, 0.5)
         prior = pts_l - jnp.stack([disp, jnp.zeros_like(disp)], axis=-1)
-        pts_r, ok = KLT.track_bidirectional(img_l, img_r, pts_l, prior, valid, self.klt_params, fb_scale=5.0)
+        if bidir:
+            pts_r, ok = KLT.track_bidirectional_pyr(
+                pyr_l, pyr_r, pts_l, prior, valid, self.klt_params, fb_scale=5.0, back_levels=1
+            )
+        else:
+            pts_r, ok = KLT.track_with_prior_pyr(
+                pyr_l, pyr_r, pts_l, prior, valid, self.klt_params, track_levels=2
+            )
         disp_out = pts_l[:, 0] - pts_r[:, 0]
         # Rectified: matches must stay on the epipolar row, positive disparity.
         row_ok = jnp.abs(pts_r[:, 1] - pts_l[:, 1]) < 2.0
@@ -165,13 +178,13 @@ class StereoVO:
         y = (pts_l[:, 1] - self.cy) / self.fy * z
         return jnp.stack([x, y, z], axis=-1), ok
 
-    def _replenish(self, img_l, img_r, tracks, arena, T_wc):
+    def _replenish(self, pyr_l, pyr_r, tracks, arena, T_wc):
         """Detect new features in empty bins, stereo-match, triangulate,
         allocate arena slots, and merge into free track lanes."""
         cfg = self.cfg
         n_new_cap = self.N // 2
         new_pts, new_ok = F.detect_features(
-            img_l,
+            pyr_l[0][0],
             tracks.pts,
             tracks.valid,
             gh=cfg.extractor.n_bins_v,
@@ -180,7 +193,7 @@ class StereoVO:
             fast_thresh=cfg.extractor.thres_fastscore,
             score_min=cfg.extractor.score_min,
         )
-        pts_r, ok_r, disp = self._stereo_match(img_l, img_r, new_pts, new_ok)
+        pts_r, ok_r, disp = self._stereo_match(pyr_l, pyr_r, new_pts, new_ok)
         Xc, ok3 = self._triangulate_stereo(new_pts, disp, new_ok & ok_r)
         Xw = geo.transform_points(T_wc, Xc)
 
@@ -219,9 +232,11 @@ class StereoVO:
         return tracks, arena, pts_r_new, pts_r_valid_new, jnp.sum(put)
 
     def _first_frame_impl(self, img_l, img_r):
-        state = self.init_state(img_l)
+        pyr_l = self._build_pyr(img_l)
+        pyr_r = self._build_pyr(img_r)
+        state = self.init_state(pyr_l)
         tracks, arena, pts_r_new, pts_r_valid, n_new = self._replenish(
-            img_l, img_r, state.tracks, state.arena, state.T_wc
+            pyr_l, pyr_r, state.tracks, state.arena, state.T_wc
         )
         ring = A.ring_push(
             state.ring,
@@ -239,7 +254,7 @@ class StereoVO:
             tracks_r_valid=pts_r_valid,
             arena=arena,
             ring=ring,
-            img_prev=img_l,
+            pyr_prev=pyr_l,
             frame_id=jnp.asarray(1, jnp.int32),
         )
 
@@ -247,6 +262,8 @@ class StereoVO:
         cfg = self.cfg
         tracks = state.tracks
         arena = state.arena
+        pyr_l = self._build_pyr(img_l)
+        pyr_r = self._build_pyr(img_r)
 
         # [2-3] constant-velocity prior and projected landmark priors.
         T_wc_prior = state.T_wc @ state.dT
@@ -259,21 +276,24 @@ class StereoVO:
         has_3d = tracks.valid & arena.triangulated[tracks.lm_idx] & (prior_depth > 0.1)
         prior_pts = jnp.where(has_3d[:, None], prior_pts, tracks.pts)
 
-        # [4] forward KLT with prior.
-        pts1, ok_track = KLT.track_with_prior(
-            state.img_prev, img_l, tracks.pts, prior_pts, tracks.valid, self.klt_params
+        # [4] forward KLT with prior (pyramid of the previous frame is cached
+        # in state — each image's pyramid is built exactly once per frame).
+        pts1, ok_track = KLT.track_with_prior_pyr(
+            state.pyr_prev, pyr_l, tracks.pts, prior_pts, tracks.valid, self.klt_params
         )
-        # [4-1] scale-compensated refinement.
-        du0, dv0 = scharr_gradients(state.img_prev)
+        # [4-1] scale-compensated refinement (template gradients from the
+        # cached previous-frame pyramid level 0).
+        img_prev, du0, dv0 = state.pyr_prev[0]
         pts1_ref, ok_scale = KLT.track_with_scale(
-            state.img_prev, du0, dv0, img_l, tracks.pts, pts1, scale_prior, ok_track,
+            img_prev, du0, dv0, img_l, tracks.pts, pts1, scale_prior, ok_track,
             use_pallas=self.klt_params.use_pallas,
         )
         pts1 = jnp.where(ok_scale[:, None], pts1_ref, pts1)
 
-        # [5] static stereo matching with depth prior.
+        # [5] static stereo matching with depth prior (forward-only, as the
+        # reference's trackWithPrior call).
         pts_r1, ok_stereo, disp = self._stereo_match(
-            img_l, img_r, pts1, ok_track, jnp.where(has_3d, prior_depth, 10.0)
+            pyr_l, pyr_r, pts1, ok_track, jnp.where(has_3d, prior_depth, 10.0), bidir=False
         )
 
         # [6] stereo pose-only GN. X0 = landmarks in previous left-cam frame.
@@ -334,7 +354,7 @@ class StereoVO:
 
         # [10] replenishment.
         tracks, arena, pts_r_new, pts_r_valid_new, n_new = self._replenish(
-            img_l, img_r, tracks, arena, T_wc_new
+            pyr_l, pyr_r, tracks, arena, T_wc_new
         )
         # Right observations: tracked lanes from stereo match, new lanes fresh.
         tracks_r = jnp.where(pts_r_valid_new[:, None], pts_r_new, pts_r1)
@@ -380,7 +400,7 @@ class StereoVO:
             tracks_r=tracks_r,
             tracks_r_valid=tracks_r_valid,
             arena=arena,
-            img_prev=img_l,
+            pyr_prev=pyr_l,
             frame_id=state.frame_id + 1,
         )
         return new_state, stats

@@ -127,10 +127,15 @@ def _track_one_level(img0, gx0, gy0, img1, p0, p1_init, valid, offsets, iters, e
     return p1, live, err
 
 
-def _pyr_track(pyr0, pyr1, p0, p1_init, valid, params: KLTParams):
-    """Coarse-to-fine track: p0 (level 0 coords) -> p1 estimate."""
+def _pyr_track(pyr0, pyr1, p0, p1_init, valid, params: KLTParams, track_levels: int | None = None):
+    """Coarse-to-fine track: p0 (level 0 coords) -> p1 estimate.
+
+    track_levels limits the climb to the finest `track_levels` levels —
+    prior-seeded passes (projected landmarks, stereo disparity, backward
+    consistency checks) start within a pixel or two of the answer and don't
+    need the coarse levels at all."""
     offsets = _patch_offsets(params.window_radius)
-    L = params.levels
+    L = min(params.levels, track_levels) if track_levels else params.levels
     scale = 2.0 ** (L - 1)
     p1 = p1_init / scale
     live = valid
@@ -193,8 +198,24 @@ def track_with_prior(
     feature_tracker.cpp:171-206; OPTFLOW_USE_INITIAL_FLOW semantics)."""
     pyr0 = build_pyramid_with_gradients(img0, params.levels)
     pyr1 = build_pyramid_with_gradients(img1, params.levels)
-    p1, live, err = _pyr_track(pyr0, pyr1, p0, p1_prior, valid, params)
-    ok = live & (err < params.max_err) & _in_border(p1, img1.shape, params.border)
+    return track_with_prior_pyr(pyr0, pyr1, p0, p1_prior, valid, params)
+
+
+@partial(jax.jit, static_argnames=("params", "track_levels"))
+def track_with_prior_pyr(
+    pyr0,
+    pyr1,
+    p0: jax.Array,
+    p1_prior: jax.Array,
+    valid: jax.Array,
+    params: KLTParams = KLTParams(),
+    track_levels: int | None = None,
+):
+    """track_with_prior over prebuilt gradient pyramids (one pyramid build per
+    image per frame; the pipelines cache the previous frame's pyramid)."""
+    shape = pyr1[0][0].shape
+    p1, live, err = _pyr_track(pyr0, pyr1, p0, p1_prior, valid, params, track_levels)
+    ok = live & (err < params.max_err) & _in_border(p1, shape, params.border)
     return p1, ok
 
 
@@ -216,8 +237,26 @@ def track_bidirectional(
     """
     pyr0 = build_pyramid_with_gradients(img0, params.levels)
     pyr1 = build_pyramid_with_gradients(img1, params.levels)
+    return track_bidirectional_pyr(pyr0, pyr1, p0, p1_prior, valid, params, fb_scale)
+
+
+@partial(jax.jit, static_argnames=("params", "fb_scale", "back_levels"))
+def track_bidirectional_pyr(
+    pyr0,
+    pyr1,
+    p0: jax.Array,
+    p1_prior: jax.Array,
+    valid: jax.Array,
+    params: KLTParams = KLTParams(),
+    fb_scale: float = 1.0,
+    back_levels: int | None = None,
+):
+    """track_bidirectional over prebuilt gradient pyramids. back_levels
+    restricts the backward consistency pass to the finest levels — it is
+    seeded at the true answer (p0), so coarse levels add cost, not accuracy."""
+    shape = pyr1[0][0].shape
     p1, live1, err1 = _pyr_track(pyr0, pyr1, p0, p1_prior, valid, params)
-    p0b, live0, _ = _pyr_track(pyr1, pyr0, p1, p0, live1, params)
+    p0b, live0, _ = _pyr_track(pyr1, pyr0, p1, p0, live1, params, back_levels)
     fb2 = jnp.sum((p0b - p0) ** 2, axis=-1)
     thr = (params.fb_thresh * fb_scale) ** 2
     ok = (
@@ -225,7 +264,7 @@ def track_bidirectional(
         & live0
         & (err1 < params.max_err)
         & (fb2 < thr)
-        & _in_border(p1, img1.shape, params.border)
+        & _in_border(p1, shape, params.border)
     )
     return p1, ok
 

@@ -122,25 +122,43 @@ def build_observation_terms(T_cr, Xr, pts, mask, pts_r, mask_r, fx, fy, cx, cy, 
     All inputs in the *anchored* frame (poses T_cr map ref->cam). Returns
     (w [M,K,rows], r [M,K,rows], Q [M,K,rows,6], Rj [M,K,rows,3]) with
     rows = 2 (mono) stacked to 4 when right observations exist.
+
+    The per-observation Jacobians are closed-form elementwise expressions —
+    tiny per-(m,k) matmuls (2x3 @ 3x6) would lower to millions of MXU
+    micro-dots; the VPU evaluates the expanded forms in one fused pass.
     """
     R = T_cr[:, :3, :3]  # [K, 3, 3]
     t = T_cr[:, :3, 3]  # [K, 3]
     Xc = jnp.einsum("kij,mj->mki", R, Xr, precision=_HI) + t[None]  # [M, K, 3]
     z_ok = Xc[..., 2] > 0.05
 
+    x, y = Xc[..., 0], Xc[..., 1]
     iz = 1.0 / jnp.where(jnp.abs(Xc[..., 2]) < 1e-6, 1e-6, Xc[..., 2])
-    u = Xc[..., 0] * iz * fx + cx
-    v = Xc[..., 1] * iz * fy + cy
+    xiz, yiz = x * iz, y * iz
+    u = xiz * fx + cx
+    v = yiz * fy + cy
     r_l = jnp.stack([u, v], axis=-1) - pts  # [M, K, 2]
 
-    dpi = _proj_jac(Xc, fx, fy)  # [M, K, 2, 3]
-    # Pose Jacobian (left perturbation on T_cr): dXc/dxi = [I | -[Xc]x]
-    Jp = jnp.concatenate(
-        [jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3)), -geo.skew(Xc)],
+    # Q_l rows: d(u,v)/d[v, w] with left perturbation (dXc = v + w x Xc).
+    one = jnp.ones_like(iz)
+    zero = jnp.zeros_like(iz)
+    qu = jnp.stack(
+        [fx * iz, zero, -fx * xiz * iz, -fx * xiz * yiz, fx * (one + xiz * xiz), -fx * yiz],
         axis=-1,
-    )  # [M, K, 3, 6]
-    Q_l = jnp.einsum("mkab,mkbc->mkac", dpi, Jp, precision=_HI)  # [M, K, 2, 6]
-    Rj_l = jnp.einsum("mkab,kbc->mkac", dpi, R, precision=_HI)  # [M, K, 2, 3]
+    )
+    qv = jnp.stack(
+        [zero, fy * iz, -fy * yiz * iz, -fy * (one + yiz * yiz), fy * xiz * yiz, fy * xiz],
+        axis=-1,
+    )
+    Q_l = jnp.stack([qu, qv], axis=-2)  # [M, K, 2, 6]
+    # Rj_l rows: dpi @ R = f*iz*(R[row] - (x or y)*iz * R[2]).
+    Rj_l = jnp.stack(
+        [
+            fx * iz[..., None] * (R[None, :, 0, :] - xiz[..., None] * R[None, :, 2, :]),
+            fy * iz[..., None] * (R[None, :, 1, :] - yiz[..., None] * R[None, :, 2, :]),
+        ],
+        axis=-2,
+    )  # [M, K, 2, 3]
 
     m_l = (mask & z_ok).astype(jnp.float32)
 
@@ -149,14 +167,23 @@ def build_observation_terms(T_cr, Xr, pts, mask, pts_r, mask_r, fx, fy, cx, cy, 
     t_rl = T_rl[:3, 3]
     Xrc = jnp.einsum("ij,mkj->mki", R_rl, Xc, precision=_HI) + t_rl
     zr_ok = Xrc[..., 2] > 0.05
+    xr, yr = Xrc[..., 0], Xrc[..., 1]
     izr = 1.0 / jnp.where(jnp.abs(Xrc[..., 2]) < 1e-6, 1e-6, Xrc[..., 2])
-    ur = Xrc[..., 0] * izr * fx + cx
-    vr = Xrc[..., 1] * izr * fy + cy
+    ur = xr * izr * fx + cx
+    vr = yr * izr * fy + cy
     r_r = jnp.stack([ur, vr], axis=-1) - pts_r
-    dpir = _proj_jac(Xrc, fx, fy)
-    dpiR = jnp.einsum("mkab,bc->mkac", dpir, R_rl, precision=_HI)
-    Q_r = jnp.einsum("mkab,mkbc->mkac", dpiR, Jp, precision=_HI)
-    Rj_r = jnp.einsum("mkab,kbc->mkac", dpiR, R, precision=_HI)
+    # dpiR = dpir @ R_rl, rows f*izr*(R_rl[row] - (xr|yr)*izr*R_rl[2]).
+    dpiR = jnp.stack(
+        [
+            fx * izr[..., None] * (R_rl[None, None, 0, :] - (xr * izr)[..., None] * R_rl[None, None, 2, :]),
+            fy * izr[..., None] * (R_rl[None, None, 1, :] - (yr * izr)[..., None] * R_rl[None, None, 2, :]),
+        ],
+        axis=-2,
+    )  # [M, K, 2, 3]
+    # Q_r = dpiR @ [I | -skew(Xc)]; the rotation block rows are Xc x dpiR_row.
+    Q_r = jnp.concatenate([dpiR, jnp.cross(Xc[..., None, :], dpiR)], axis=-1)  # [M, K, 2, 6]
+    # Rj_r = dpiR @ R (contract 3; mul-sum keeps it on the VPU).
+    Rj_r = jnp.sum(dpiR[..., :, :, None] * R[None, :, None, :, :], axis=-2)
     m_r = (mask_r & zr_ok).astype(jnp.float32)
 
     r = jnp.concatenate([r_l, r_r], axis=-1)  # [M, K, 4]
@@ -178,14 +205,19 @@ def assemble_normal_blocks(w, r, Q, Rj):
     """Hessian blocks from observation terms.
 
     Returns A [K,6,6], a [K,6], C [M,3,3], b [M,3], B [M,K,6,3].
+
+    Contractions over the tiny residual-row axis (r<=4) are expanded
+    mul-sums (VPU); only the landmark-axis reductions ride dots.
     """
     wQ = Q * w[..., None]
+    # A: contract (m, r) — inner dim M*rows is large, a real matmul per k.
     A = jnp.einsum("mkra,mkrb->kab", wQ, Q, precision=_HI)
     a = -jnp.einsum("mkra,mkr->ka", wQ, r, precision=_HI)
     wR = Rj * w[..., None]
-    C = jnp.einsum("mkra,mkrb->mab", wR, Rj, precision=_HI)
-    b = -jnp.einsum("mkra,mkr->ma", wR, r, precision=_HI)
-    B = jnp.einsum("mkra,mkrb->mkab", wQ, Rj, precision=_HI)
+    # C/b/B: batch (m[,k]) with tiny contraction — keep off the MXU.
+    C = jnp.sum(wR[..., :, :, None] * Rj[..., :, None, :], axis=(-4, -3))  # [M,3,3]
+    b = -jnp.sum(wR * r[..., None], axis=(-3, -2))  # [M, 3]
+    B = jnp.sum(wQ[..., :, :, None] * Rj[..., :, None, :], axis=-3)  # [M,K,6,3]
     return A, a, C, b, B
 
 
@@ -195,6 +227,7 @@ def schur_reduce(A, a, C, b, B, lam):
     Returns (S [K,K,6,6], s [K,6], Cinv [M,3,3]).
     """
     K = A.shape[0]
+    M = C.shape[0]
     # Diagonal ops as mask arithmetic (multi-index scatters crash the TPU
     # XLA scatter emitter and fuse worse anyway).
     eye6 = jnp.eye(6, dtype=A.dtype)
@@ -204,12 +237,16 @@ def schur_reduce(A, a, C, b, B, lam):
     # Regularize unobserved landmark blocks so Cinv stays finite.
     C = C + 1e-6 * eye3
     Cinv = _inv3x3(C)
-    BCinv = jnp.einsum("mkab,mbc->mkac", B, Cinv, precision=_HI)  # [M, K, 6, 3]
-    S_off = jnp.einsum("mjac,mkbc->jkab", BCinv, B, precision=_HI)  # [K, K, 6, 6]
+    # BCinv: batched [6,3]@[3,3] per (m,k) — mul-sum on the VPU.
+    BCinv = jnp.sum(B[..., :, :, None] * Cinv[:, None, None, :, :], axis=-2)  # [M,K,6,3]
+    # S_off contracts (m, c): reshape into ONE [6K, 3M] @ [3M, 6K] MXU matmul.
+    X1 = BCinv.transpose(1, 2, 0, 3).reshape(K * 6, M * 3)
+    X2 = B.transpose(0, 3, 1, 2).reshape(M * 3, K * 6)
+    S_off = (X1 @ X2).reshape(K, 6, K, 6).transpose(0, 2, 1, 3)  # [K,K,6,6]
     eyeK = jnp.eye(K, dtype=A.dtype)
     S = -S_off + eyeK[:, :, None, None] * A[:, None, :, :]
-    sb = jnp.einsum("mkac,mc->ka", BCinv, b, precision=_HI)
-    s = a - sb
+    sb = X1 @ b.reshape(M * 3)  # [6K]
+    s = a - sb.reshape(K, 6)
     return S, s, Cinv, BCinv
 
 
@@ -242,9 +279,10 @@ def solve_reduced(S, s, opt_mask):
 
 
 def back_substitute(Cinv, b, B, dx):
-    """dy_i = Cinv_i (b_i - sum_j B_ij^T dx_j)  — [M, 3]."""
-    Btx = jnp.einsum("mkab,ka->mb", B, dx, precision=_HI)
-    return jnp.einsum("mab,mb->ma", Cinv, b - Btx, precision=_HI)
+    """dy_i = Cinv_i (b_i - sum_j B_ij^T dx_j)  — [M, 3] (VPU mul-sums)."""
+    Btx = jnp.sum(B * dx[None, :, :, None], axis=(1, 2))  # [M, 3]
+    rhs = b - Btx
+    return jnp.sum(Cinv * rhs[:, None, :], axis=-1)
 
 
 def ba_solve_impl(
@@ -296,8 +334,8 @@ def ba_solve_impl(
     # Optimizable = live keyframes beyond the first n_fix.
     opt_mask = problem.kf_valid & (jnp.arange(K) >= params.n_fix)
 
-    def iteration(_, state):
-        T_cr, Xr = state
+    def iteration(state):
+        it, T_cr, Xr, _ = state
         w, r, Q, Rj = build_observation_terms(
             T_cr, Xr, problem.pts, mask, problem.pts_r, mask_r, fx, fy, cx, cy, T_rl, params.huber_delta
         )
@@ -323,9 +361,20 @@ def ba_solve_impl(
         T_new = jax.vmap(geo.add_front_se3)(T_cr, dx)
         T_cr = jnp.where(opt_mask[:, None, None], T_new, T_cr)
         Xr = Xr + dy
-        return T_cr, Xr
+        # Early exit on pose-step convergence. dx is identical on every shard
+        # (it comes out of the psum-reduced solve), so the flag — and hence
+        # the psum count — stays consistent across devices; dy is shard-local
+        # and must NOT feed this.
+        done = jnp.max(jnp.abs(dx)) < 1e-5
+        return it + 1, T_cr, Xr, done
 
-    T_cr, Xr = jax.lax.fori_loop(0, params.iters, iteration, (T_cr, Xr))
+    def iter_cond(state):
+        it, _, _, done = state
+        return (it < params.iters) & ~done
+
+    _, T_cr, Xr, _ = jax.lax.while_loop(
+        iter_cond, iteration, (jnp.int32(0), T_cr, Xr, jnp.array(False))
+    )
 
     # Write back to world frame (reference :630-718).
     T_cw_new = T_cr @ T_rw

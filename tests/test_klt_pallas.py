@@ -96,3 +96,71 @@ def test_scale_pallas_matches_jnp(rng):
     np.testing.assert_allclose(np.median(d_p, 0), [dx, dy], atol=0.25)
     d_j = np.asarray(p1_j)[both] - p0[both]
     np.testing.assert_allclose(np.median(d_p, 0), np.median(d_j, 0), atol=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Feature-parallel kernel (klt_pallas_fp)
+# ---------------------------------------------------------------------------
+
+
+def test_fp_level_matches_jnp(rng):
+    from visual_odometry_ros_tpu.ops.klt_pallas_fp import track_level_fp
+
+    img0 = _k._textured_image(rng)
+    dx, dy = 2.7, -1.9
+    img1 = _k._shift_image(img0, dx, dy)
+    p0 = _k._grid_points(*img0.shape)
+    valid = np.ones(len(p0), bool)
+    r, iters = 10, 12
+
+    p1_p, live_p, err_p, proc = track_level_fp(
+        jnp.asarray(img0), jnp.asarray(img1),
+        jnp.asarray(p0), jnp.asarray(p0), jnp.asarray(valid),
+        radius=r, iters=iters, interpret=True,
+    )
+    gx, gy = scharr_gradients(jnp.asarray(img0))
+    offsets = klt._patch_offsets(r)
+    p1_j, live_j, err_j = klt._track_one_level(
+        jnp.asarray(img0), gx, gy, jnp.asarray(img1),
+        jnp.asarray(p0), jnp.asarray(p0), jnp.asarray(valid),
+        offsets, iters, 0.03, 1e-4,
+    )
+    p1_p, p1_j = np.asarray(p1_p), np.asarray(p1_j)
+    both = np.asarray(live_p) & np.asarray(live_j)
+    assert both.mean() > 0.8
+    d = np.linalg.norm(p1_p[both] - p1_j[both], axis=-1)
+    assert np.median(d) < 0.05
+    e = np.linalg.norm(p1_p[both] - (p0[both] + [dx, dy]), axis=-1)
+    assert np.median(e) < 0.25
+
+
+def test_fp_level_border_rejected(rng):
+    from visual_odometry_ros_tpu.ops.klt_pallas_fp import track_level_fp
+
+    img0 = _k._textured_image(rng)
+    p0 = np.array([[3.0, 3.0], [150.0, 120.0]], np.float32)
+    p1, live, err, proc = track_level_fp(
+        jnp.asarray(img0), jnp.asarray(img0),
+        jnp.asarray(p0), jnp.asarray(p0), jnp.ones(2, bool),
+        radius=10, iters=5, interpret=True,
+    )
+    live = np.asarray(live)
+    assert not live[0] and live[1]
+
+
+def test_fp_level_drift_clamp_not_silently_good(rng):
+    """A prior more than M+1 px off cannot be recovered at one level (the
+    drift window clamps); such features must come back dead OR with a large
+    residual — never live-and-confident (the pyramid supplies the range)."""
+    from visual_odometry_ros_tpu.ops.klt_pallas_fp import track_level_fp
+
+    img0 = _k._textured_image(rng)
+    img1 = _k._shift_image(img0, 9.0, 0.0)  # true flow far beyond the margin
+    p0 = _k._grid_points(*img0.shape)
+    p1, live, err, proc = track_level_fp(
+        jnp.asarray(img0), jnp.asarray(img1),
+        jnp.asarray(p0), jnp.asarray(p0), jnp.ones(len(p0), bool),
+        radius=10, iters=12, interpret=True,
+    )
+    confident = np.asarray(live) & (np.asarray(err) < 5.0)
+    assert confident.mean() < 0.2

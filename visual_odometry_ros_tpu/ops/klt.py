@@ -145,13 +145,21 @@ def _pyr_track(pyr0, pyr1, p0, p1_init, valid, params: KLTParams, track_levels: 
         img0, gx0, gy0 = pyr0[lvl]
         img1 = pyr1[lvl][0]
         if params.use_pallas:
-            from .klt_pallas import track_level_pallas
+            from .klt_pallas_fp import track_level_fp
 
-            p1, live, err = track_level_pallas(
-                img0, gx0, gy0, img1, p0 / s, p1, live,
+            # The fp kernel only runs features whose full window fits this
+            # level's image (`proc`); the rest pass through to the next
+            # level (tiny coarse images put most of the frame inside the
+            # window margin). Liveness is decided at level 0.
+            p1_new, ok_new, err_new, proc = track_level_fp(
+                img0, img1, p0 / s, p1, live,
                 radius=params.window_radius, iters=params.iters,
                 eps=params.eps, min_eig=params.min_eig,
             )
+            p1 = jnp.where(proc[:, None], p1_new, p1)
+            if lvl == 0:
+                live = live & proc & ok_new
+                err = err_new
         else:
             p1, live, err = _track_one_level(
                 img0,

@@ -55,8 +55,10 @@ def _level_kernel(radius: int, iters: int, eps: float, min_eig: float, H: int, W
         py = yc - y_al  # 0..ROWS-SS
         px = xc - x_al  # 0..COLS-SS
         raw = ref[pl.ds(pl.multiple_of(y_al, 8), ROWS), pl.ds(pl.multiple_of(x_al, 128), COLS)]
-        raw = pltpu.roll(raw, -py, 0)[:SS, :]
-        raw = pltpu.roll(raw, -px, 1)[:, :SS]
+        # Positive modular shifts: hardware Mosaic does not wrap negative
+        # dynamic roll amounts (interpret mode does).
+        raw = pltpu.roll(raw, (ROWS - py) % ROWS, 0)[:SS, :]
+        raw = pltpu.roll(raw, (COLS - px) % COLS, 1)[:, :SS]
         return raw
 
     def kernel(pts_ref, img0_ref, gx_ref, gy_ref, img1_ref, out_ref):

@@ -1,0 +1,421 @@
+"""Feature-parallel Pallas TPU KLT: gather once, iterate vectorized.
+
+The first Pallas KLT (klt_pallas.py) ran each feature's Gauss-Newton loop as
+scalar-driven control flow — ~1k sequential while_loops of tiny vector ops,
+latency-bound at ~7-9 ms per pyramid level. This kernel splits the work by
+what the hardware is good at:
+
+  Phase A (gather, per-feature serial, ONCE per level):
+    For each feature, one aligned VMEM slab load around the template point
+    and one around the prior target point; `pltpu.roll` rotates the
+    unaligned offset away. Four features pack into each 128-lane tile of a
+    canonical "bank": feature f = (g, c) occupies rows [32g, 32g+32),
+    lanes [32c, 32c+32).
+
+  Phase B (iterate, ALL features in parallel):
+    The GN loop runs on whole-bank tensors. Bilinear sampling at the
+    per-feature continuous offset (dy, dx) is expressed as a hat-weighted
+    sum over STATIC rolls: P[i] = sum_k hat(dy - k) * bank[i + k] — k is a
+    compile-time constant per term, dy varies per feature only through the
+    weights, so every op is a full-width VPU op. Patch reductions (Hessian,
+    J^T r) and per-feature broadcasts ride the MXU as matmuls against
+    constant 0/1 group-membership matrices. Template gradients come from an
+    in-kernel Scharr on the template bank (slabs carry the margin), so the
+    caller needs no gradient pyramid.
+
+Margin M = 3: a feature may drift +-(M+1) px per level from its prior
+before clamping (coarse-to-fine restores the rest; parity vs OpenCV is
+tested in tests/test_klt_pallas.py). 32-row tiles fit radius <= 11:
+(2r+1) + 1 + (2M+1) + 1 <= 32.
+
+The scale-compensated variant (reference trackWithScale,
+feature_tracker.cpp:236-504) reuses Phase B unchanged: its Phase A resamples
+both slabs to canonical unit scale per feature with separable hat-matrix
+products on the MXU, so scale costs one extra resample, not a per-iteration
+penalty.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_M = 3  # drift margin (px) per level
+_TER = 2 * _M + 2  # hat terms per axis: k = 0 .. 2M+1
+_FPB_A = 8  # features per Phase-A program
+_BLK = 64  # features per Phase-B program (rows = BLK/4 * 32; sized for 16M VMEM)
+_ROWS_LOAD = 40  # aligned slab rows (32 + sublane phase)
+_COLS_LOAD = 256  # aligned slab cols (32 + lane phase, two 128-tiles)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Phase A: slab gather
+# ---------------------------------------------------------------------------
+
+
+def _gather_kernel(Hp: int, Wp: int):
+    def kernel(meta_ref, img0_ref, img1_ref, bank0_ref, bank1_ref):
+        # meta_ref: [FPB, 4] int32 SMEM rows (yA0, xA0, yA1, xA1)
+        def tile_at(ref, yA, xA):
+            # Dynamic rolls must use the POSITIVE modular shift: hardware
+            # Mosaic does not wrap negative dynamic shifts (interpret mode
+            # does — parity tests alone cannot catch this).
+            y_al = pl.multiple_of((yA // 8) * 8, 8)
+            x_al = pl.multiple_of((xA // 128) * 128, 128)
+            raw = ref[pl.ds(y_al, _ROWS_LOAD), pl.ds(x_al, _COLS_LOAD)]
+            raw = pltpu.roll(raw, (_ROWS_LOAD - (yA - y_al)) % _ROWS_LOAD, 0)[:32, :]
+            raw = pltpu.roll(raw, (_COLS_LOAD - (xA - x_al)) % _COLS_LOAD, 1)[:, :32]
+            return raw
+
+        for g in range(_FPB_A // 4):
+            t0 = []
+            t1 = []
+            for c in range(4):
+                f = g * 4 + c
+                t0.append(tile_at(img0_ref, meta_ref[f, 0], meta_ref[f, 1]))
+                t1.append(tile_at(img1_ref, meta_ref[f, 2], meta_ref[f, 3]))
+            bank0_ref[pl.ds(g * 32, 32), :] = jnp.concatenate(t0, axis=1)
+            bank1_ref[pl.ds(g * 32, 32), :] = jnp.concatenate(t1, axis=1)
+
+    return kernel
+
+
+def _gather_banks(img0, img1, anchors0, anchors1, Hp, Wp, interpret=False):
+    """anchors*: [NF, 2] int32 (yA, xA), NF multiple of _FPB_A. Returns two
+    [NF/4*32, 128] banks."""
+    NF = anchors0.shape[0]
+    meta = jnp.concatenate([anchors0, anchors1], axis=-1).astype(jnp.int32)  # [NF, 4]
+    n_blocks = NF // _FPB_A
+    rows_b = _FPB_A // 4 * 32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((_FPB_A, 4), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows_b, 128), lambda i: (i, 0)),
+            pl.BlockSpec((rows_b, 128), lambda i: (i, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        _gather_kernel(Hp, Wp),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * rows_b, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * rows_b, 128), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(meta, img0, img1)
+
+
+# ---------------------------------------------------------------------------
+# Phase B: vectorized GN iterations
+# ---------------------------------------------------------------------------
+
+
+def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float):
+    G = _BLK // 4  # groups per block
+    R = G * 32  # bank rows per block
+
+    def kernel(b0_ref, b1_ref, ty_ref, tx_ref, dy0_ref, dx0_ref, act_ref, out_ref):
+        b0 = b0_ref[:]
+        b1 = b1_ref[:]
+
+        def shift_read(z, k, axis):
+            """out[i] = z[i + k] (cyclic; margins mask the wrap)."""
+            n = z.shape[axis]
+            return pltpu.roll(z, (-k) % n, axis)
+
+        # Constant group matrices (iota compares; int-only iota on Mosaic).
+        ri = jax.lax.broadcasted_iota(jnp.int32, (G, R), 1)
+        gi = jax.lax.broadcasted_iota(jnp.int32, (G, R), 0)
+        F1 = (ri // 32 == gi).astype(jnp.float32)  # [G, R] row-group sum
+        F2 = F1.T  # [R, G] row broadcast
+        li = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        lj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        E = (li // 32 == lj // 32).astype(jnp.float32)  # [128,128] lane-block sum
+
+        # Patch mask: rows/lanes 0..S-1 of each 32-tile.
+        pr = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        pc = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        mask = ((pr % 32 < S) & (pc % 32 < S)).astype(jnp.float32)
+
+        # HIGHEST precision: default MXU dots truncate inputs to bf16, which
+        # injects ~0.1 px noise into the broadcast offsets and J^T r sums.
+        _hi = jax.lax.Precision.HIGHEST
+
+        def bcast(field):  # [G, 128] -> [R, 128]
+            return jax.lax.dot(F2, field, precision=_hi, preferred_element_type=jnp.float32)
+
+        def treduce(z):  # [R, 128] -> [G, 128] per-feature patch sums
+            zs = jax.lax.dot(F1, z, precision=_hi, preferred_element_type=jnp.float32)
+            return jax.lax.dot(zs, E, precision=_hi, preferred_element_type=jnp.float32)
+
+        def hat_sample(bank, dyF, dxF):
+            """Bilinear patch at per-feature continuous (dy, dx).
+
+            dyF/dxF: [R, 128] broadcast fields. Output rows/lanes [0, S)
+            of each tile hold the patch."""
+            acc = None
+            for k in range(_TER):
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(dyF - float(k)))
+                t = w * shift_read(bank, k, 0)
+                acc = t if acc is None else acc + t
+            out = None
+            for k in range(_TER):
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(dxF - float(k)))
+                t = w * shift_read(acc, k, 1)
+                out = t if out is None else out + t
+            return out
+
+        # Template gradients: Scharr on the template bank (slab margin covers
+        # the stencil; sampled region stays >= 1 away from tile edges).
+        def up(z):
+            return shift_read(z, -1, 0)
+
+        def dn(z):
+            return shift_read(z, 1, 0)
+
+        def lf(z):
+            return shift_read(z, -1, 1)
+
+        def rt(z):
+            return shift_read(z, 1, 1)
+
+        sx = (3.0 * (up(b0) + dn(b0)) + 10.0 * b0) / 16.0
+        gxb = (rt(sx) - lf(sx)) * 0.5
+        sy = (3.0 * (lf(b0) + rt(b0)) + 10.0 * b0) / 16.0
+        gyb = (dn(sy) - up(sy)) * 0.5
+
+        tyF = bcast(ty_ref[:])
+        txF = bcast(tx_ref[:])
+        T = hat_sample(b0, tyF, txF)
+        gx = hat_sample(gxb, tyF, txF)
+        gy = hat_sample(gyb, tyF, txF)
+
+        gxm = gx * mask
+        gym = gy * mask
+        gxx = treduce(gxm * gx)
+        gxy = treduce(gxm * gy)
+        gyy = treduce(gym * gy)
+        npix = float(S * S)
+        tr = gxx + gyy
+        dd = jnp.sqrt(jnp.maximum((gxx - gyy) ** 2 + 4.0 * gxy * gxy, 0.0))
+        lam_min = 0.5 * (tr - dd) / npix
+        eig_ok = lam_min > min_eig
+
+        det = gxx * gyy - gxy * gxy
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+
+        Tm = T * mask
+        act0 = (act_ref[:] > 0.5) & eig_ok
+        lim = float(2 * _M + 1)
+
+        # conv is carried as f32 (Mosaic cannot yield i1 vectors from scf
+        # loops): 1.0 = converged/dead lane, 0.0 = still iterating.
+        def w_cond(carry):
+            dy, dx, conv, it = carry
+            return (jnp.min(conv) < 0.5) & (it < iters)
+
+        def w_body(carry):
+            dy, dx, conv, it = carry
+            I1p = hat_sample(b1, bcast(dy), bcast(dx))
+            e = Tm - I1p * mask
+            bx = treduce(gxm * e)
+            by = treduce(gym * e)
+            du = (gyy * bx - gxy * by) * inv_det
+            dv = (gxx * by - gxy * bx) * inv_det
+            step = 1.0 - conv
+            dx_n = jnp.clip(dx + du * step, 0.0, lim)
+            dy_n = jnp.clip(dy + dv * step, 0.0, lim)
+            conv = jnp.maximum(
+                conv, (du * du + dv * dv < eps * eps).astype(jnp.float32)
+            )
+            return dy_n, dx_n, conv, it + 1
+
+        dy, dx, _, _ = jax.lax.while_loop(
+            w_cond, w_body,
+            (dy0_ref[:], dx0_ref[:], 1.0 - act0.astype(jnp.float32), jnp.int32(0)),
+        )
+
+        I1p = hat_sample(b1, bcast(dy), bcast(dx))
+        err = treduce(jnp.abs(Tm - I1p * mask)) / npix
+        interior = (dy > 0.01) & (dy < lim - 0.01) & (dx > 0.01) & (dx < lim - 0.01)
+        ok = (act0 & interior).astype(jnp.float32)
+
+        out_ref[pl.ds(0, G), :] = dy
+        out_ref[pl.ds(G, G), :] = dx
+        out_ref[pl.ds(2 * G, G), :] = err
+        out_ref[pl.ds(3 * G, G), :] = ok
+
+    return kernel
+
+
+def _iterate_banks(bank0, bank1, ty, tx, dy0, dx0, act, S, iters, eps, min_eig,
+                   interpret=False):
+    """ty/tx/dy0/dx0/act: [G_total, 128] lane-replicated fields. Returns
+    [4 * G_total, 128] stacked (dy, dx, err, ok) fields."""
+    G_total = ty.shape[0]
+    NF = G_total * 4
+    n_blocks = NF // _BLK
+    G = _BLK // 4
+    R = G * 32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((R, 128), lambda i: (i, 0)),
+            pl.BlockSpec((R, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+            pl.BlockSpec((G, 128), lambda i: (i, 0)),
+        ],
+        out_specs=[pl.BlockSpec((4 * G, 128), lambda i: (i, 0))],
+    )
+    (out,) = pl.pallas_call(
+        _iterate_kernel(S, iters, eps, min_eig),
+        out_shape=[jax.ShapeDtypeStruct((n_blocks * 4 * G, 128), jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(bank0, bank1, ty, tx, dy0, dx0, act)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# XLA wrapper
+# ---------------------------------------------------------------------------
+
+
+def _to_field(vals, NF):
+    """[NF] -> [NF/4, 128] lane-block-replicated field."""
+    return jnp.repeat(vals.reshape(NF // 4, 4), 32, axis=1)
+
+
+def _from_field(field, NF):
+    """[NF/4, 128] -> [NF] (reads lane 0 of each 32-block)."""
+    return field[:, ::32].reshape(NF)
+
+
+def _unstack_out(out, NF):
+    n_blocks = out.shape[0] // (4 * (_BLK // 4))
+    G = _BLK // 4
+    o = out.reshape(n_blocks, 4, G, 128)
+    fields = [o[:, i].reshape(NF // 4, 128) for i in range(4)]
+    return [_from_field(f, NF) for f in fields]
+
+
+@partial(jax.jit, static_argnames=("radius", "iters", "eps", "min_eig", "interpret"))
+def track_level_fp(
+    img0: jax.Array,
+    img1: jax.Array,
+    p0: jax.Array,
+    p1_init: jax.Array,
+    valid: jax.Array,
+    radius: int = 10,
+    iters: int = 12,
+    eps: float = 0.03,
+    min_eig: float = 1e-4,
+    interpret: bool = False,
+):
+    """One pyramid level of batched IC-KLT, feature-parallel.
+
+    Semantics match ops/klt._track_one_level (template from img0 at p0,
+    target in img1 seeded at p1_init; per-level drift beyond +-(_M+1) px is
+    clamped and flagged). No gradient images needed — Scharr runs in-kernel.
+    Returns (p1 [N,2], live [N] bool, err [N], processed [N] bool).
+
+    `processed` marks features whose full window fits this level's image:
+    only those ran the GN loop. Pyramid drivers must PASS THROUGH the rest
+    (tiny coarse levels put most of the frame inside the window margin) and
+    decide liveness at level 0.
+    """
+    N = p0.shape[0]
+    H, W = img0.shape
+    S = 2 * radius + 1
+    if S + 1 + _TER > 32:
+        raise ValueError(f"radius {radius} too large for 32-row tiles")
+
+    NF = _round_up(max(N, _BLK), _BLK)
+    pad = NF - N
+    if pad:
+        p0 = jnp.pad(p0, ((0, pad), (0, 0)))
+        p1_init = jnp.pad(p1_init, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+
+    # Pad images so every aligned slab load is in bounds.
+    Hp = _round_up(H, 8) + _ROWS_LOAD
+    Wp = _round_up(W, 128) + _COLS_LOAD
+    padspec = ((0, Hp - H), (0, Wp - W))
+    img0p = jnp.pad(img0, padspec)
+    img1p = jnp.pad(img1, padspec)
+
+    # Anchors: slab top-left so the patch top-left sits M(+frac) inside.
+    def anchor(p):
+        a = jnp.floor(p).astype(jnp.int32) - radius - _M
+        ax = jnp.clip(a[:, 0], 0, Wp - _COLS_LOAD)
+        ay = jnp.clip(a[:, 1], 0, Hp - _ROWS_LOAD)
+        return ay, ax
+
+    ay0, ax0 = anchor(p0)
+    ay1, ax1 = anchor(p1_init)
+    anchors0 = jnp.stack([ay0, ax0], axis=-1)
+    anchors1 = jnp.stack([ay1, ax1], axis=-1)
+
+    # Template/initial offsets in bank coordinates.
+    ty = (p0[:, 1] - radius) - ay0.astype(jnp.float32)
+    tx = (p0[:, 0] - radius) - ax0.astype(jnp.float32)
+    dy0 = (p1_init[:, 1] - radius) - ay1.astype(jnp.float32)
+    dx0 = (p1_init[:, 0] - radius) - ax1.astype(jnp.float32)
+
+    lim = float(2 * _M + 1)
+    # Whole-support in-bounds guard (template fully inside the true image,
+    # offsets inside the drift window — border/clipped features are dead).
+    in0 = (
+        (p0[:, 0] >= radius + 1) & (p0[:, 1] >= radius + 1)
+        & (p0[:, 0] < W - radius - 1) & (p0[:, 1] < H - radius - 1)
+        & (ty >= 0.0) & (ty <= lim) & (tx >= 0.0) & (tx <= lim)
+        & (dy0 >= 0.0) & (dy0 <= lim) & (dx0 >= 0.0) & (dx0 <= lim)
+    )
+    act = valid & in0
+
+    bank0, bank1 = _gather_banks(img0p, img1p, anchors0, anchors1, Hp, Wp, interpret)
+    out = _iterate_banks(
+        bank0,
+        bank1,
+        _to_field(ty, NF),
+        _to_field(tx, NF),
+        _to_field(dy0, NF),
+        _to_field(dx0, NF),
+        _to_field(act.astype(jnp.float32), NF),
+        S,
+        iters,
+        eps,
+        min_eig,
+        interpret,
+    )
+    dy, dx, err, okf = _unstack_out(out, NF)
+
+    u1 = ax1.astype(jnp.float32) + dx + radius
+    v1 = ay1.astype(jnp.float32) + dy + radius
+    p1 = jnp.stack([u1, v1], axis=-1)[:N]
+    err = err[:N]
+    in1 = (
+        (p1[:, 0] >= radius) & (p1[:, 1] >= radius)
+        & (p1[:, 0] < W - radius) & (p1[:, 1] < H - radius)
+    )
+    live = valid[:N] & (okf[:N] > 0.5) & in1
+    return p1, live, err, act[:N]

@@ -51,6 +51,8 @@ _FPB_A = 8  # features per Phase-A program
 _BLK = 64  # features per Phase-B program (rows = BLK/4 * 32; sized for 16M VMEM)
 _ROWS_LOAD = 40  # aligned slab rows (32 + sublane phase)
 _COLS_LOAD = 256  # aligned slab cols (32 + lane phase, two 128-tiles)
+_PT = 16  # top padding: anchors of near-border features stay >= 0
+_PL = 128  # left padding (lane-aligned)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -125,11 +127,12 @@ def _gather_banks(img0, img1, anchors0, anchors1, Hp, Wp, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float):
+def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: int):
     G = _BLK // 4  # groups per block
     R = G * 32  # bank rows per block
 
-    def kernel(b0_ref, b1_ref, ty_ref, tx_ref, dy0_ref, dx0_ref, act_ref, out_ref):
+    def kernel(b0_ref, b1_ref, ty_ref, tx_ref, dy0_ref, dx0_ref, act_ref,
+               y0_ref, x0_ref, ya1_ref, xa1_ref, out_ref):
         b0 = b0_ref[:]
         b1 = b1_ref[:]
 
@@ -150,7 +153,12 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float):
         # Patch mask: rows/lanes 0..S-1 of each 32-tile.
         pr = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
         pc = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-        mask = ((pr % 32 < S) & (pc % 32 < S)).astype(jnp.float32)
+        patch = (pr % 32 < S) & (pc % 32 < S)
+        # Patch-pixel index within the window (for border-validity masks,
+        # mirroring utils.interp.bilinear_sample: a sample is valid iff its
+        # global coordinate lies in [0, dim-1]).
+        rowi = (pr % 32).astype(jnp.float32)
+        coli = (pc % 32).astype(jnp.float32)
 
         # HIGHEST precision: default MXU dots truncate inputs to bf16, which
         # injects ~0.1 px noise into the broadcast offsets and J^T r sums.
@@ -205,12 +213,24 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float):
         gx = hat_sample(gxb, tyF, txF)
         gy = hat_sample(gyb, tyF, txF)
 
+        # Template border mask: partial windows stay alive with the invalid
+        # pixels zero-weighted (the jnp path's bilinear masks; the first
+        # version killed any feature within radius+1 px of the border — a
+        # 7%-of-frame dead band at KITTI sizes).
+        y0F = bcast(y0_ref[:])
+        x0F = bcast(x0_ref[:])
+        v0 = (
+            (y0F + rowi >= 0.0) & (y0F + rowi <= float(H - 1))
+            & (x0F + coli >= 0.0) & (x0F + coli <= float(W - 1))
+        )
+        mask = (patch & v0).astype(jnp.float32)
+
         gxm = gx * mask
         gym = gy * mask
         gxx = treduce(gxm * gx)
         gxy = treduce(gxm * gy)
         gyy = treduce(gym * gy)
-        npix = float(S * S)
+        npix = jnp.maximum(treduce(mask), 1.0)
         tr = gxx + gyy
         dd = jnp.sqrt(jnp.maximum((gxx - gyy) ** 2 + 4.0 * gxy * gxy, 0.0))
         lam_min = 0.5 * (tr - dd) / npix
@@ -220,8 +240,17 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float):
         inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
 
         Tm = T * mask
+        ya1F = bcast(ya1_ref[:])
+        xa1F = bcast(xa1_ref[:])
         act0 = (act_ref[:] > 0.5) & eig_ok
         lim = float(2 * _M + 1)
+
+        def target_mask(dyF, dxF):
+            y = ya1F + dyF + rowi
+            x = xa1F + dxF + coli
+            return (
+                (y >= 0.0) & (y <= float(H - 1)) & (x >= 0.0) & (x <= float(W - 1))
+            ).astype(jnp.float32)
 
         # conv is carried as f32 (Mosaic cannot yield i1 vectors from scf
         # loops): 1.0 = converged/dead lane, 0.0 = still iterating.

@@ -75,6 +75,37 @@ def test_stereo_vo_keyframes_and_ba(seq):
     assert ba_errs and all(e < 1.0 for e in ba_errs)
 
 
+def test_keyframe_retriangulation_refreshes_drifted_depth(seq):
+    """Reference parity (stereo_vo.cpp:764-797): at each new keyframe every
+    tracked landmark is re-triangulated from the fresh stereo pair; a landmark
+    whose arena estimate drifted must be pulled back to the stereo depth."""
+    import jax.numpy as jnp
+
+    world, poses_gt, frames = seq
+    vo = StereoVO(_small_cfg())
+    vo.track_stereo_images(*frames[0])
+    vo.track_stereo_images(*frames[1])
+    state = vo.state
+
+    tracks_ok = np.asarray(state.tracks.valid & state.tracks_r_valid)
+    lane = int(np.argmax(tracks_ok))
+    assert tracks_ok[lane]
+    slot = int(np.asarray(state.tracks.lm_idx)[lane])
+    X_true = np.asarray(state.arena.Xw)[slot].copy()
+
+    # Corrupt the landmark's depth by 30%.
+    Xw_bad = np.asarray(state.arena.Xw).copy()
+    Xw_bad[slot] = X_true * 1.3
+    vo.state = state._replace(arena=state.arena._replace(Xw=jnp.asarray(Xw_bad)))
+
+    refreshed, n_recon = vo._retriangulate_tracked(vo.state)
+    assert int(n_recon) > 10
+    X_ref = np.asarray(refreshed.arena.Xw)[slot]
+    # Refreshed estimate is back near the pre-corruption stereo depth.
+    assert np.linalg.norm(X_ref - X_true) < 0.15 * np.linalg.norm(X_true)
+    assert np.linalg.norm(X_ref - Xw_bad[slot]) > 0.1 * np.linalg.norm(X_true)
+
+
 def test_stereo_vo_scale_correct(seq):
     """Stereo VO must recover metric scale from the baseline."""
     world, poses_gt, frames = seq

@@ -42,10 +42,16 @@ class LandmarkArena(NamedTuple):
     ray_d: jax.Array  # [M, 3] unit world ray through the birth pixel
     parallax_last: jax.Array  # [M] rad
     parallax_max: jax.Array  # [M] rad
+    parallax_min: jax.Array  # [M] rad (1e9 until first sample; landmark.cpp:126-127)
+    parallax_sum: jax.Array  # [M] rad — running sum; avg = sum / parallax_n
+    parallax_n: jax.Array  # [M] int32 — #parallax samples (landmark.cpp:129-132)
 
     @property
     def capacity(self) -> int:
         return self.Xw.shape[0]
+
+
+PARALLAX_MIN_INIT = 1e9  # sentinel before the first parallax sample
 
 
 def make_arena(capacity: int) -> LandmarkArena:
@@ -66,7 +72,36 @@ def make_arena(capacity: int) -> LandmarkArena:
         ray_d=jnp.zeros((capacity, 3), jnp.float32),
         parallax_last=z1,
         parallax_max=z1,
+        parallax_min=jnp.full((capacity,), PARALLAX_MIN_INIT, jnp.float32),
+        parallax_sum=z1,
+        parallax_n=jnp.zeros((capacity,), jnp.int32),
     )
+
+
+def parallax_observe(arena: LandmarkArena, lm_idx, mask, par):
+    """Record one rotation-compensated parallax sample per masked lane —
+    last/max/min/avg bookkeeping of Landmark::addObservationAndRelatedFrame
+    (landmark.cpp:107-134), batched over the whole track table."""
+    new_last = onehot_update(arena.parallax_last, lm_idx, mask, par)
+    hit = onehot_update(jnp.zeros((arena.capacity,), bool), lm_idx, mask, op="or")
+    return arena._replace(
+        parallax_last=new_last,
+        parallax_max=jnp.where(hit, jnp.maximum(arena.parallax_max, new_last), arena.parallax_max),
+        parallax_min=jnp.where(hit, jnp.minimum(arena.parallax_min, new_last), arena.parallax_min),
+        parallax_sum=jnp.where(hit, arena.parallax_sum + new_last, arena.parallax_sum),
+        parallax_n=arena.parallax_n + hit.astype(jnp.int32),
+    )
+
+
+def landmark_stat_means(arena: LandmarkArena):
+    """Per-frame aggregates over currently-tracked landmarks for the
+    statistics record (statisticsStamped.msg avg_parallax/avg_age)."""
+    sel = arena.alive & arena.tracked
+    n = jnp.maximum(jnp.sum(sel), 1)
+    avg_age = jnp.sum(jnp.where(sel, arena.age, 0)) / n
+    per_lm_avg = arena.parallax_sum / jnp.maximum(arena.parallax_n, 1)
+    avg_parallax = jnp.sum(jnp.where(sel, per_lm_avg, 0.0)) / n
+    return avg_parallax, avg_age.astype(jnp.float32)
 
 
 class TrackState(NamedTuple):

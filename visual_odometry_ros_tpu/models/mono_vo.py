@@ -271,6 +271,11 @@ class MonoVO:
             ray_d=A.onehot_update(arena.ray_d, slots, ok_new, d_w),
             parallax_last=A.onehot_update(arena.parallax_last, slots, ok_new, zeros_n),
             parallax_max=A.onehot_update(arena.parallax_max, slots, ok_new, zeros_n),
+            parallax_min=A.onehot_update(
+                arena.parallax_min, slots, ok_new, jnp.full((n_new_cap,), A.PARALLAX_MIN_INIT, jnp.float32)
+            ),
+            parallax_sum=A.onehot_update(arena.parallax_sum, slots, ok_new, zeros_n),
+            parallax_n=A.onehot_update(arena.parallax_n, slots, ok_new, jnp.zeros((n_new_cap,), jnp.int32)),
         )
         free_lane = ~tracks.valid
         lanes, lane_ok = A.allocate_slots(free_lane, n_new_cap)
@@ -366,16 +371,13 @@ class MonoVO:
         tracked_now = A.onehot_update(
             jnp.zeros_like(arena.tracked), tracks.lm_idx, survived, op="or"
         )
-        new_par_last = A.onehot_update(arena.parallax_last, tracks.lm_idx, survived, par)
         arena = arena._replace(
             tracked=tracked_now,
             age=A.onehot_update(arena.age, tracks.lm_idx, survived, jnp.ones((self.N,), jnp.int32), op="add"),
             last_pt=A.onehot_update(arena.last_pt, tracks.lm_idx, survived, pts1),
-            parallax_last=new_par_last,
-            parallax_max=jnp.where(
-                tracked_now, jnp.maximum(arena.parallax_max, new_par_last), arena.parallax_max
-            ),
         )
+        arena = A.parallax_observe(arena, tracks.lm_idx, survived, par)
+        avg_parallax, avg_age = A.landmark_stat_means(arena)
         tracks = tracks._replace(pts=pts1, valid=survived, scale=scale_prior)
         tracks, arena, n_new = self._replenish(img, tracks, arena, T_wc_new)
 
@@ -420,6 +422,8 @@ class MonoVO:
             need_keyframe=need_kf,
             steering_angle=op.theta,
             n_pass_1p=op.n_inliers,
+            avg_parallax=avg_parallax,
+            avg_age=avg_age,
         )
         return new_state, scalars
 
@@ -562,7 +566,26 @@ class MonoVO:
             bundled=arena.bundled | touched,
         )
         n_tri = jnp.sum(tri_ok | promote)
-        return state._replace(T_wc=T_wc_new, ring=ring, arena=arena), res.mean_err_px, n_tri
+
+        # Post-BA patch-scale recompute (mono_vo.cpp:1085-1128): refresh each
+        # tracked landmark's patch scale from BA-refined geometry — scale =
+        # depth in its first observing window KF / depth in the current frame.
+        T0_ref = res.T_cw[first_k]  # [M, 4, 4] refined pose of first observing KF
+        d0 = jnp.einsum("mj,mj->m", T0_ref[:, 2, :3], arena.Xw) + T0_ref[:, 2, 3]
+        T_cw_new = geo.se3_inverse(T_wc_new)
+        d1 = arena.Xw @ T_cw_new[2, :3] + T_cw_new[2, 3]
+        scale_lm = jnp.clip(d0 / jnp.maximum(d1, 0.1), 0.25, 4.0)
+        scale_tr = scale_lm[state.tracks.lm_idx]
+        scale_ok = (
+            state.tracks.valid
+            & (arena.alive & arena.triangulated)[state.tracks.lm_idx]
+            & (d1[state.tracks.lm_idx] > 0.1)
+            & (d0[state.tracks.lm_idx] > 0.1)
+        )
+        tracks = state.tracks._replace(
+            scale=jnp.where(scale_ok, scale_tr, state.tracks.scale)
+        )
+        return state._replace(T_wc=T_wc_new, ring=ring, arena=arena, tracks=tracks), res.mean_err_px, n_tri
 
     def _scan_steps_impl(self, state: MonoVOState, key, imgs):
         """Device-resident multi-frame mono step: lax.scan over B frames with
@@ -631,6 +654,8 @@ class MonoVO:
                 "overlap_ratio": float(np.asarray(sc["overlap_ratio"])[i]),
                 "steering_angle": float(np.asarray(sc["steering_angle"])[i]),
                 "n_pass_1p": int(np.asarray(sc["n_pass_1p"])[i]),
+                "avg_parallax": float(np.asarray(sc["avg_parallax"])[i]),
+                "avg_age": float(np.asarray(sc["avg_age"])[i]),
                 "ba_err": float(ba_errs[i]) if ba_errs[i] >= 0 else None,
                 "n_triangulated": int(n_tris[i]),
             }
@@ -708,6 +733,8 @@ class MonoVO:
             "overlap_ratio": float(sc["overlap_ratio"]),
             "steering_angle": float(sc["steering_angle"]),
             "n_pass_1p": int(sc["n_pass_1p"]),
+            "avg_parallax": float(sc["avg_parallax"]),
+            "avg_age": float(sc["avg_age"]),
             "ba_err": ba_err,
             "n_triangulated": n_tri,
         }

@@ -64,6 +64,8 @@ class FrameStats(NamedTuple):
     kf_translation: jax.Array  # meters since last KF
     kf_rotation_deg: jax.Array
     need_keyframe: jax.Array
+    avg_parallax: jax.Array  # rad, mean over tracked landmarks (msg avg_parallax)
+    avg_age: jax.Array  # frames, mean over tracked landmarks (msg avg_age)
 
 
 class StereoVO:
@@ -215,6 +217,11 @@ class StereoVO:
             inv_depth=A.onehot_update(arena.inv_depth, slots, ok_new, 1.0 / jnp.maximum(Xc[:, 2], 1e-3)),
             parallax_last=A.onehot_update(arena.parallax_last, slots, ok_new, zeros_n),
             parallax_max=A.onehot_update(arena.parallax_max, slots, ok_new, zeros_n),
+            parallax_min=A.onehot_update(
+                arena.parallax_min, slots, ok_new, jnp.full((n_new_cap,), A.PARALLAX_MIN_INIT, jnp.float32)
+            ),
+            parallax_sum=A.onehot_update(arena.parallax_sum, slots, ok_new, zeros_n),
+            parallax_n=A.onehot_update(arena.parallax_n, slots, ok_new, jnp.zeros((n_new_cap,), jnp.int32)),
         )
 
         # Merge into free track lanes.
@@ -339,16 +346,13 @@ class StereoVO:
         tracked_now = A.onehot_update(
             jnp.zeros_like(arena.tracked), tracks.lm_idx, survived, op="or"
         )
-        new_par_last = A.onehot_update(arena.parallax_last, tracks.lm_idx, survived, par)
         arena = arena._replace(
             tracked=tracked_now,
             age=A.onehot_update(arena.age, tracks.lm_idx, survived, jnp.ones((self.N,), jnp.int32), op="add"),
             last_pt=A.onehot_update(arena.last_pt, tracks.lm_idx, survived, pts1),
-            parallax_last=new_par_last,
-            parallax_max=jnp.where(
-                tracked_now, jnp.maximum(arena.parallax_max, new_par_last), arena.parallax_max
-            ),
         )
+        arena = A.parallax_observe(arena, tracks.lm_idx, survived, par)
+        avg_parallax, avg_age = A.landmark_stat_means(arena)
 
         tracks = tracks._replace(pts=pts1, valid=survived, scale=scale_prior)
 
@@ -391,6 +395,8 @@ class StereoVO:
             kf_translation=trans,
             kf_rotation_deg=rot_deg,
             need_keyframe=need_kf,
+            avg_parallax=avg_parallax,
+            avg_age=avg_age,
         )
 
         new_state = state._replace(
@@ -405,8 +411,50 @@ class StereoVO:
         )
         return new_state, stats
 
+    def _retriangulate_tracked(self, state: StereoVOState):
+        """Keyframe-time depth refresh (reference stereo_vo.cpp:764-797):
+        re-triangulate every currently tracked landmark from the fresh stereo
+        pair via the batched two-view DLT, reprojection-check BOTH views at
+        1 px, chirality-check, and overwrite arena.Xw for survivors. On
+        low-texture stretches this — not BA — is the reference's main depth
+        refresh mechanism."""
+        from ..ops import triangulate as TRI
+
+        tracks = state.tracks
+        both = tracks.valid & state.tracks_r_valid
+        xn_l = jnp.stack(
+            [(tracks.pts[:, 0] - self.cx) / self.fx, (tracks.pts[:, 1] - self.cy) / self.fy],
+            axis=-1,
+        )
+        xn_r = jnp.stack(
+            [(state.tracks_r[:, 0] - self.cx) / self.fx, (state.tracks_r[:, 1] - self.cy) / self.fy],
+            axis=-1,
+        )
+        Xl, Xr = TRI.triangulate(xn_l, xn_r, jnp.asarray(self.T_rl))
+        zl = jnp.maximum(Xl[:, 2], 1e-6)
+        zr = jnp.maximum(Xr[:, 2], 1e-6)
+        pl = jnp.stack([Xl[:, 0] / zl * self.fx + self.cx, Xl[:, 1] / zl * self.fy + self.cy], -1)
+        pr = jnp.stack([Xr[:, 0] / zr * self.fx + self.cx, Xr[:, 1] / zr * self.fy + self.cy], -1)
+        el2 = jnp.sum((pl - tracks.pts) ** 2, axis=-1)
+        er2 = jnp.sum((pr - state.tracks_r) ** 2, axis=-1)
+        good = (
+            both
+            & (el2 <= 1.0)
+            & (er2 <= 1.0)
+            & (Xl[:, 2] > self.cfg.map.min_depth)
+            & (Xr[:, 2] > 0.0)
+            & (Xl[:, 2] < self.cfg.map.max_depth)
+        )
+        Xw_new = geo.transform_points(state.T_wc, Xl)
+        arena = state.arena._replace(
+            Xw=A.onehot_update(state.arena.Xw, tracks.lm_idx, good, Xw_new),
+            triangulated=A.onehot_update(state.arena.triangulated, tracks.lm_idx, good, op="or"),
+        )
+        return state._replace(arena=arena), jnp.sum(good)
+
     def _keyframe_step_impl(self, state: StereoVOState):
         """Push the current frame as a keyframe and run windowed BA."""
+        state, _n_recon = self._retriangulate_tracked(state)
         T_cw = geo.se3_inverse(state.T_wc)
         ring = A.ring_push(
             state.ring,
@@ -518,6 +566,8 @@ class StereoVO:
                 "pose_ok": bool(np.asarray(fstats.pose_ok)[i]),
                 "mean_reproj_err": float(np.asarray(fstats.mean_reproj_err)[i]),
                 "overlap_ratio": float(np.asarray(fstats.overlap_ratio)[i]),
+                "avg_parallax": float(np.asarray(fstats.avg_parallax)[i]),
+                "avg_age": float(np.asarray(fstats.avg_age)[i]),
                 "ba_err": float(ba_errs[i]) if ba_errs[i] >= 0 else None,
             }
             self.trajectory.append(poses[i])
@@ -559,6 +609,8 @@ class StereoVO:
             "pose_ok": bool(fstats.pose_ok),
             "mean_reproj_err": float(fstats.mean_reproj_err),
             "overlap_ratio": float(fstats.overlap_ratio),
+            "avg_parallax": float(fstats.avg_parallax),
+            "avg_age": float(fstats.avg_age),
             "ba_err": ba_err,
         }
         self.trajectory.append(T_wc)

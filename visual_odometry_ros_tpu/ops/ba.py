@@ -242,10 +242,12 @@ def schur_reduce(A, a, C, b, B, lam):
     # S_off contracts (m, c): reshape into ONE [6K, 3M] @ [3M, 6K] MXU matmul.
     X1 = BCinv.transpose(1, 2, 0, 3).reshape(K * 6, M * 3)
     X2 = B.transpose(0, 3, 1, 2).reshape(M * 3, K * 6)
-    S_off = (X1 @ X2).reshape(K, 6, K, 6).transpose(0, 2, 1, 3)  # [K,K,6,6]
+    # HIGHEST precision: the default MXU matmul truncates f32 inputs to bf16,
+    # which injects noise into the reduced camera system (ADVICE r1).
+    S_off = jnp.matmul(X1, X2, precision=_HI).reshape(K, 6, K, 6).transpose(0, 2, 1, 3)
     eyeK = jnp.eye(K, dtype=A.dtype)
     S = -S_off + eyeK[:, :, None, None] * A[:, None, :, :]
-    sb = X1 @ b.reshape(M * 3)  # [6K]
+    sb = jnp.matmul(X1, b.reshape(M * 3), precision=_HI)  # [6K]
     s = a - sb.reshape(K, 6)
     return S, s, Cinv, BCinv
 

@@ -239,10 +239,15 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: i
         det = gxx * gyy - gxy * gxy
         inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
 
-        Tm = T * mask
+        # Mostly-outside windows (valid fraction <= 1/2) are rejected like
+        # OpenCV LK rejects border points; genuinely partial windows (frac
+        # above 1/2) stay alive with invalid pixels zero-weighted, matching
+        # the jnp path's bilinear masks.
+        frac_ok = npix > 0.5 * float(S * S)
+
         ya1F = bcast(ya1_ref[:])
         xa1F = bcast(xa1_ref[:])
-        act0 = (act_ref[:] > 0.5) & eig_ok
+        act0 = (act_ref[:] > 0.5) & eig_ok & frac_ok
         lim = float(2 * _M + 1)
 
         def target_mask(dyF, dxF):
@@ -260,10 +265,13 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: i
 
         def w_body(carry):
             dy, dx, conv, it = carry
-            I1p = hat_sample(b1, bcast(dy), bcast(dx))
-            e = Tm - I1p * mask
-            bx = treduce(gxm * e)
-            by = treduce(gym * e)
+            dyF = bcast(dy)
+            dxF = bcast(dx)
+            I1p = hat_sample(b1, dyF, dxF)
+            w = mask * target_mask(dyF, dxF)
+            e = (T - I1p) * w
+            bx = treduce(gx * e)
+            by = treduce(gy * e)
             du = (gyy * bx - gxy * by) * inv_det
             dv = (gxx * by - gxy * bx) * inv_det
             step = 1.0 - conv
@@ -279,8 +287,11 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: i
             (dy0_ref[:], dx0_ref[:], 1.0 - act0.astype(jnp.float32), jnp.int32(0)),
         )
 
-        I1p = hat_sample(b1, bcast(dy), bcast(dx))
-        err = treduce(jnp.abs(Tm - I1p * mask)) / npix
+        dyF = bcast(dy)
+        dxF = bcast(dx)
+        I1p = hat_sample(b1, dyF, dxF)
+        wf = mask * target_mask(dyF, dxF)
+        err = treduce(jnp.abs(T - I1p) * wf) / jnp.maximum(treduce(wf), 1.0)
         interior = (dy > 0.01) & (dy < lim - 0.01) & (dx > 0.01) & (dx < lim - 0.01)
         ok = (act0 & interior).astype(jnp.float32)
 
@@ -292,35 +303,33 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: i
     return kernel
 
 
-def _iterate_banks(bank0, bank1, ty, tx, dy0, dx0, act, S, iters, eps, min_eig,
-                   interpret=False):
-    """ty/tx/dy0/dx0/act: [G_total, 128] lane-replicated fields. Returns
+def _iterate_banks(bank0, bank1, ty, tx, dy0, dx0, act, y0, x0, ya1, xa1,
+                   S, iters, eps, min_eig, H, W, interpret=False):
+    """ty/tx/dy0/dx0/act/y0/x0/ya1/xa1: [G_total, 128] lane-replicated fields
+    (y0/x0 = template patch top-left in true image coords; ya1/xa1 = target
+    slab origin in true image coords — the border-validity anchors). Returns
     [4 * G_total, 128] stacked (dy, dx, err, ok) fields."""
     G_total = ty.shape[0]
     NF = G_total * 4
     n_blocks = NF // _BLK
     G = _BLK // 4
     R = G * 32
+    field_spec = pl.BlockSpec((G, 128), lambda i: (i, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((R, 128), lambda i: (i, 0)),
             pl.BlockSpec((R, 128), lambda i: (i, 0)),
-            pl.BlockSpec((G, 128), lambda i: (i, 0)),
-            pl.BlockSpec((G, 128), lambda i: (i, 0)),
-            pl.BlockSpec((G, 128), lambda i: (i, 0)),
-            pl.BlockSpec((G, 128), lambda i: (i, 0)),
-            pl.BlockSpec((G, 128), lambda i: (i, 0)),
-        ],
+        ] + [field_spec] * 9,
         out_specs=[pl.BlockSpec((4 * G, 128), lambda i: (i, 0))],
     )
     (out,) = pl.pallas_call(
-        _iterate_kernel(S, iters, eps, min_eig),
+        _iterate_kernel(S, iters, eps, min_eig, H, W),
         out_shape=[jax.ShapeDtypeStruct((n_blocks * 4 * G, 128), jnp.float32)],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bank0, bank1, ty, tx, dy0, dx0, act)
+    )(bank0, bank1, ty, tx, dy0, dx0, act, y0, x0, ya1, xa1)
     return out
 
 
@@ -385,18 +394,23 @@ def track_level_fp(
         p1_init = jnp.pad(p1_init, ((0, pad), (0, 0)))
         valid = jnp.pad(valid, (0, pad))
 
-    # Pad images so every aligned slab load is in bounds.
-    Hp = _round_up(H, 8) + _ROWS_LOAD
-    Wp = _round_up(W, 128) + _COLS_LOAD
-    padspec = ((0, Hp - H), (0, Wp - W))
+    # Pad images so every aligned slab load is in bounds: _PT rows on top and
+    # _PL cols on left let slabs around border features reach "above"/"left of"
+    # the image (partial windows sample the zero pad; the in-kernel
+    # global-coordinate masks zero-weight those pixels like the jnp path's
+    # bilinear masks), bottom/right padding covers the aligned load extent.
+    Hp = _round_up(H + _PT, 8) + _ROWS_LOAD
+    Wp = _round_up(W + _PL, 128) + _COLS_LOAD
+    padspec = ((_PT, Hp - H - _PT), (_PL, Wp - W - _PL))
     img0p = jnp.pad(img0, padspec)
     img1p = jnp.pad(img1, padspec)
 
-    # Anchors: slab top-left so the patch top-left sits M(+frac) inside.
+    # Anchors (padded coords): slab top-left so the patch top-left sits
+    # M(+frac) inside. _PT/_PL guarantee no clipping for in-image points.
     def anchor(p):
         a = jnp.floor(p).astype(jnp.int32) - radius - _M
-        ax = jnp.clip(a[:, 0], 0, Wp - _COLS_LOAD)
-        ay = jnp.clip(a[:, 1], 0, Hp - _ROWS_LOAD)
+        ax = jnp.clip(a[:, 0] + _PL, 0, Wp - _COLS_LOAD)
+        ay = jnp.clip(a[:, 1] + _PT, 0, Hp - _ROWS_LOAD)
         return ay, ax
 
     ay0, ax0 = anchor(p0)
@@ -404,19 +418,24 @@ def track_level_fp(
     anchors0 = jnp.stack([ay0, ax0], axis=-1)
     anchors1 = jnp.stack([ay1, ax1], axis=-1)
 
+    # Slab origins in TRUE image coordinates (can be negative near borders).
+    oy0 = ay0.astype(jnp.float32) - _PT
+    ox0 = ax0.astype(jnp.float32) - _PL
+    oy1 = ay1.astype(jnp.float32) - _PT
+    ox1 = ax1.astype(jnp.float32) - _PL
+
     # Template/initial offsets in bank coordinates.
-    ty = (p0[:, 1] - radius) - ay0.astype(jnp.float32)
-    tx = (p0[:, 0] - radius) - ax0.astype(jnp.float32)
-    dy0 = (p1_init[:, 1] - radius) - ay1.astype(jnp.float32)
-    dx0 = (p1_init[:, 0] - radius) - ax1.astype(jnp.float32)
+    ty = (p0[:, 1] - radius) - oy0
+    tx = (p0[:, 0] - radius) - ox0
+    dy0 = (p1_init[:, 1] - radius) - oy1
+    dx0 = (p1_init[:, 0] - radius) - ox1
 
     lim = float(2 * _M + 1)
-    # Whole-support in-bounds guard (template fully inside the true image,
-    # offsets inside the drift window — border/clipped features are dead).
+    # Structural guard only: offsets inside the drift window (always true for
+    # finite in-image points thanks to the top-left padding; catches garbage
+    # coordinates in dead lanes). Border handling is the kernel's job now.
     in0 = (
-        (p0[:, 0] >= radius + 1) & (p0[:, 1] >= radius + 1)
-        & (p0[:, 0] < W - radius - 1) & (p0[:, 1] < H - radius - 1)
-        & (ty >= 0.0) & (ty <= lim) & (tx >= 0.0) & (tx <= lim)
+        (ty >= 0.0) & (ty <= lim) & (tx >= 0.0) & (tx <= lim)
         & (dy0 >= 0.0) & (dy0 <= lim) & (dx0 >= 0.0) & (dx0 <= lim)
     )
     act = valid & in0
@@ -430,21 +449,29 @@ def track_level_fp(
         _to_field(dy0, NF),
         _to_field(dx0, NF),
         _to_field(act.astype(jnp.float32), NF),
+        _to_field(p0[:, 1] - radius, NF),
+        _to_field(p0[:, 0] - radius, NF),
+        _to_field(oy1, NF),
+        _to_field(ox1, NF),
         S,
         iters,
         eps,
         min_eig,
+        H,
+        W,
         interpret,
     )
     dy, dx, err, okf = _unstack_out(out, NF)
 
-    u1 = ax1.astype(jnp.float32) + dx + radius
-    v1 = ay1.astype(jnp.float32) + dy + radius
+    u1 = ox1 + dx + radius
+    v1 = oy1 + dy + radius
     p1 = jnp.stack([u1, v1], axis=-1)[:N]
     err = err[:N]
+    # Final point must have bilinear support in the image; the pipeline's
+    # border gate (track_with_prior_pyr, border=3) applies on top.
     in1 = (
-        (p1[:, 0] >= radius) & (p1[:, 1] >= radius)
-        & (p1[:, 0] < W - radius) & (p1[:, 1] < H - radius)
+        (p1[:, 0] >= 0.0) & (p1[:, 1] >= 0.0)
+        & (p1[:, 0] <= W - 1.0) & (p1[:, 1] <= H - 1.0)
     )
     live = valid[:N] & (okf[:N] > 0.5) & in1
     return p1, live, err, act[:N]

@@ -100,12 +100,24 @@ def main():
     jax.block_until_ready(vo.state.T_wc)
     dt = time.perf_counter() - t0
 
+    # End-to-end variant: uint8 upload INSIDE the timed loop (what a camera
+    # feed without DMA prefetch would pay; on this remote-tunnel TPU the
+    # transfer RPC serializes behind compute, so this is a pessimistic bound).
+    t0 = time.perf_counter()
+    for b in range(N_BATCHES):
+        s = 1 + BATCH * (1 + b)
+        vo.track_stereo_batch(il[s : s + BATCH], ir[s : s + BATCH])
+    jax.block_until_ready(vo.state.T_wc)
+    dt_h2d = time.perf_counter() - t0
+
     fps = (N_BATCHES * BATCH) / dt
+    fps_h2d = (N_BATCHES * BATCH) / dt_h2d
     result = {
         "metric": "stereo_vo_frames_per_s",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "value_with_h2d": round(fps_h2d, 2),
     }
     print(json.dumps(result))
     return result

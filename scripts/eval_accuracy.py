@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Accuracy procedure (BASELINE.md): run mono + stereo VO on long adversarial
+synthetic sequences, record ATE RMSE / RPE, and hold the TPU (Pallas) engine
+to <= the CPU (jnp, faithful-reference-path) ATE.
+
+No KITTI/EuRoC data exists in this environment, so the sequences are made
+hard instead (BASELINE.md procedure as amended by round-1 VERDICT #4):
+200+ frames, exposure drift, a moving occluder, repeated texture, varying
+speed with S-curves (io/synthetic.py HardSequence / varied_trajectory).
+
+The CPU run uses the pure-jnp KLT path with reference thresholds — the
+reimplementation of the reference algorithms that BASELINE.md designates as
+the accuracy baseline. The TPU run uses the Pallas kernels. Both must land
+under the drift bounds, and TPU ATE must not exceed CPU ATE materially.
+
+Usage:
+  python scripts/eval_accuracy.py --platform cpu            # baseline leg
+  python scripts/eval_accuracy.py                           # TPU leg
+  python scripts/eval_accuracy.py --render-only             # just write md
+
+Each leg appends to ACCURACY.json; ACCURACY.md is regenerated after each run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+JSON_PATH = os.path.join(ROOT, "ACCURACY.json")
+MD_PATH = os.path.join(ROOT, "ACCURACY.md")
+
+
+def build_stereo(use_pallas):
+    from visual_odometry_ros_tpu.config import VOConfig
+    from visual_odometry_ros_tpu.models.stereo_vo import StereoVO
+
+    cfg = VOConfig()
+    cfg.cam.fx = cfg.cam.fy = 500.0
+    cfg.cam.cx, cfg.cam.cy = 320.0, 240.0
+    cfg.cam.width, cfg.cam.height = 640, 480
+    cfg.cam_right = cfg.cam
+    T_lr = np.eye(4, dtype=np.float32)
+    T_lr[0, 3] = 0.5
+    cfg.T_lr = T_lr
+    cfg.flagDoUndistortion = False
+    cfg.extractor.n_features = 512
+    cfg.extractor.n_bins_u = 16
+    cfg.extractor.n_bins_v = 10
+    cfg.map.landmark_capacity = 4096
+    cfg.keyframe.n_max_keyframes_in_window = 7
+    cfg.keyframe.thres_translation = 1.2
+    cfg.tracker.max_level = 3
+    cfg.tracker.max_iter = 15
+    cfg.tracker.use_pallas = use_pallas
+    return StereoVO(cfg)
+
+
+def build_mono(use_pallas):
+    from visual_odometry_ros_tpu.config import VOConfig
+    from visual_odometry_ros_tpu.models.mono_vo import MonoVO
+
+    cfg = VOConfig()
+    cfg.cam.fx = cfg.cam.fy = 500.0
+    cfg.cam.cx, cfg.cam.cy = 320.0, 240.0
+    cfg.cam.width, cfg.cam.height = 640, 480
+    cfg.flagDoUndistortion = False
+    cfg.extractor.n_features = 512
+    cfg.extractor.n_bins_u = 16
+    cfg.extractor.n_bins_v = 10
+    cfg.map.landmark_capacity = 4096
+    cfg.keyframe.n_max_keyframes_in_window = 7
+    cfg.keyframe.thres_translation = 1.2
+    cfg.tracker.max_level = 3
+    cfg.tracker.max_iter = 15
+    cfg.tracker.use_pallas = use_pallas
+    return MonoVO(cfg)
+
+
+def run_stereo(frames, use_pallas):
+    vo = build_stereo(use_pallas)
+    t0 = time.perf_counter()
+    for il, ir in frames:
+        vo.track_stereo_images(il, ir)
+    wall = time.perf_counter() - t0
+    return np.stack(vo.trajectory), wall
+
+
+def run_mono(imgs, use_pallas):
+    vo = build_mono(use_pallas)
+    t0 = time.perf_counter()
+    first_steady = None
+    for i, im in enumerate(imgs):
+        _, stats = vo.track_image(im)
+        if first_steady is None and stats.get("phase") in ("bootstrapped", "steady"):
+            first_steady = i
+    wall = time.perf_counter() - t0
+    return np.stack(vo.trajectory), wall, first_steady or 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--platform", default=None)
+    p.add_argument("--frames", type=int, default=200)
+    p.add_argument("--render-only", action="store_true")
+    args = p.parse_args(argv)
+    if args.render_only:
+        render_md()
+        return
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    plat = jax.devices()[0].platform
+    use_pallas = plat not in ("cpu",)
+
+    from visual_odometry_ros_tpu.io.synthetic import HardSequence, varied_trajectory
+    from visual_odometry_ros_tpu.io.trajectory import ate_rmse, rpe
+
+    poses_gt = varied_trajectory(args.frames, step=0.3)
+    dist = float(
+        np.sum(np.linalg.norm(np.diff(poses_gt[:, :3, 3], axis=0), axis=-1))
+    )
+
+    world = HardSequence(z0_a=10.0, z0_b=20.0, baseline=0.5)
+    print(f"[{plat}] rendering {args.frames} adversarial stereo frames ...", flush=True)
+    frames = [world.stereo_pair(T.astype(np.float64), frame=i) for i, T in enumerate(poses_gt)]
+
+    print(f"[{plat}] stereo run (use_pallas={use_pallas}) ...", flush=True)
+    traj_s, wall_s = run_stereo(frames, use_pallas)
+    ate_s = float(ate_rmse(traj_s, poses_gt, align="none"))
+    t_rmse_s, r_rmse_s = rpe(traj_s, poses_gt)
+
+    print(f"[{plat}] mono run ...", flush=True)
+    imgs_l = [l for l, _ in frames]
+    traj_m, wall_m, _ = run_mono(imgs_l, use_pallas)
+    # Mono is up-to-scale: Umeyama sim3 alignment.
+    ate_m = float(ate_rmse(traj_m, poses_gt, align="sim3"))
+
+    rec = {
+        "platform": plat,
+        "use_pallas": use_pallas,
+        "frames": args.frames,
+        "distance_m": round(dist, 2),
+        "stereo": {
+            "ate_rmse_m": round(ate_s, 4),
+            "ate_pct_of_dist": round(100.0 * ate_s / dist, 3),
+            "rpe_trans_m": round(float(t_rmse_s), 4),
+            "rpe_rot_deg": round(float(r_rmse_s), 4),
+            "wall_s": round(wall_s, 1),
+        },
+        "mono": {
+            "ate_rmse_sim3_m": round(ate_m, 4),
+            "ate_pct_of_dist": round(100.0 * ate_m / dist, 3),
+            "wall_s": round(wall_m, 1),
+        },
+    }
+    print(json.dumps(rec, indent=1))
+
+    records = {}
+    if os.path.exists(JSON_PATH):
+        with open(JSON_PATH) as f:
+            records = json.load(f)
+    records[plat] = rec
+    with open(JSON_PATH, "w") as f:
+        json.dump(records, f, indent=1)
+    render_md()
+
+
+def render_md():
+    if not os.path.exists(JSON_PATH):
+        print("no ACCURACY.json yet")
+        return
+    with open(JSON_PATH) as f:
+        records = json.load(f)
+    lines = [
+        "# ACCURACY — synthetic adversarial sequences (BASELINE.md procedure)",
+        "",
+        "No KITTI/EuRoC data exists in this environment (zero egress); per the",
+        "BASELINE.md amendment in round-1 VERDICT #4 the sequences are made hard",
+        "instead: 200 frames, exposure drift (±15% gain, ±8 bias), a moving",
+        "occluder (12% of width, independent motion), repeated texture (256-px",
+        "tile), varying speed with S-curves. Generator:",
+        "`visual_odometry_ros_tpu/io/synthetic.py` (`HardSequence`,",
+        "`varied_trajectory`); harness: `scripts/eval_accuracy.py`.",
+        "",
+        "The **cpu** row is the faithful reference-algorithm reimplementation",
+        "(pure-jnp KLT path, reference thresholds) — the accuracy baseline the",
+        "TPU engine is held to. The **tpu** row runs the Pallas kernels.",
+        "",
+        "| platform | kernels | frames | dist (m) | stereo ATE (m) | stereo ATE %dist | stereo RPE t (m) | stereo RPE r (deg) | mono ATE sim3 (m) | mono ATE %dist |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for plat, rec in sorted(records.items()):
+        s, m = rec["stereo"], rec["mono"]
+        lines.append(
+            f"| {plat} | {'pallas' if rec['use_pallas'] else 'jnp'} | {rec['frames']} "
+            f"| {rec['distance_m']} | {s['ate_rmse_m']} | {s['ate_pct_of_dist']}% "
+            f"| {s['rpe_trans_m']} | {s['rpe_rot_deg']} | {m['ate_rmse_sim3_m']} | {m['ate_pct_of_dist']}% |"
+        )
+    if {"cpu"} < set(records) or len(records) >= 2:
+        plats = [p for p in records if p != "cpu"]
+        if "cpu" in records and plats:
+            t = records[plats[0]]
+            c = records["cpu"]
+            ok = t["stereo"]["ate_rmse_m"] <= c["stereo"]["ate_rmse_m"] * 1.2 + 0.01
+            lines += [
+                "",
+                f"**TPU-vs-CPU ATE check:** stereo TPU {t['stereo']['ate_rmse_m']} m vs CPU "
+                f"{c['stereo']['ate_rmse_m']} m -> {'PASS (<= CPU x1.2 + 1cm)' if ok else 'FAIL'}",
+            ]
+    lines.append("")
+    with open(MD_PATH, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {MD_PATH}")
+
+
+if __name__ == "__main__":
+    main()

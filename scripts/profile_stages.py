@@ -21,17 +21,23 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timeit(fn, args, n=20, warmup=2, name=""):
+def timeit(fn, args, n=20, warmup=2, name="", trials=5):
+    """min-of-trials: single-trial averages on a remote-attached TPU include
+    multi-ms tunnel RPC stalls that swamp sub-ms kernels; the min over a few
+    trials is the reproducible device number."""
     import jax
 
     for _ in range(warmup):
         out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / n * 1e3
+    ts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append((time.perf_counter() - t0) / n * 1e3)
+    ms = min(ts)
     if name:
         print(f"{name:20s} {ms:9.3f} ms", flush=True)
     return ms
@@ -126,6 +132,25 @@ def main(argv=None):
         print(f"{k:20s} {v:9.3f} ms")
     total = results["steady_step_full"]
     print(f"\nimplied steady fps: {1000.0/total:.1f}")
+
+    import json
+
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        plat = "unknown"
+    artifact = {
+        "platform": plat,
+        "width": args.width,
+        "height": args.height,
+        "features": args.features,
+        "stages_ms": {k: round(v, 4) for k, v in results.items()},
+        "implied_steady_fps": round(1000.0 / total, 2),
+    }
+    out_path = os.path.join(os.path.dirname(__file__), "..", "PROFILE.json")
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {os.path.abspath(out_path)}")
     return results
 
 

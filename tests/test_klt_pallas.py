@@ -148,6 +148,63 @@ def test_fp_level_border_rejected(rng):
     assert not live[0] and live[1]
 
 
+def test_fp_scale_matches_jnp(rng):
+    """Feature-parallel trackWithScale kernel vs the jnp reference path."""
+    from visual_odometry_ros_tpu.ops.klt_pallas_fp import track_scale_fp
+
+    img0 = _k._textured_image(rng)
+    dx, dy = 1.6, -1.1
+    img1 = _k._shift_image(img0, dx, dy)
+    p0 = _k._grid_points(*img0.shape)
+    N = len(p0)
+    valid = np.ones(N, bool)
+    scale = np.clip(rng.normal(1.0, 0.1, N), 0.8, 1.25).astype(np.float32)
+
+    p1_p, err_p, ok_p = track_scale_fp(
+        jnp.asarray(img0), jnp.asarray(img1),
+        jnp.asarray(p0), jnp.asarray(p0), jnp.asarray(scale), jnp.asarray(valid),
+        radius=11, iters=20, interpret=True,
+    )
+    gx, gy = scharr_gradients(jnp.asarray(img0))
+    p1_j, ok_j = klt.track_with_scale(
+        jnp.asarray(img0), gx, gy, jnp.asarray(img1),
+        jnp.asarray(p0), jnp.asarray(p0), jnp.asarray(scale), jnp.asarray(valid),
+        radius=11, iters=20,
+    )
+    ok_p = np.asarray(ok_p)
+    ok_j = np.asarray(ok_j)
+    both = ok_p & ok_j
+    assert both.sum() > 0.6 * N
+    d_p = np.asarray(p1_p)[both] - p0[both]
+    np.testing.assert_allclose(np.median(d_p, 0), [dx, dy], atol=0.25)
+    d_j = np.asarray(p1_j)[both] - p0[both]
+    np.testing.assert_allclose(np.median(d_p, 0), np.median(d_j, 0), atol=0.2)
+
+
+def test_fp_scale_nonunit_scale_still_tracks(rng):
+    """A genuinely scaled template (s != 1) must still recover the flow —
+    exercises the Phase-A hat-matrix resample at non-unit spacing."""
+    from visual_odometry_ros_tpu.ops.klt_pallas_fp import track_scale_fp
+
+    img0 = _k._textured_image(rng, smooth=5)
+    dx, dy = 2.0, 1.3
+    # Target = shifted AND 1.25x-zoomed-out template around each point is a
+    # harder global transform; use a plain shift but force the patch scale.
+    img1 = _k._shift_image(img0, dx, dy)
+    p0 = _k._grid_points(*img0.shape)
+    N = len(p0)
+    scale = np.full(N, 1.4, np.float32)
+    p1, err, ok = track_scale_fp(
+        jnp.asarray(img0), jnp.asarray(img1),
+        jnp.asarray(p0), jnp.asarray(p0), jnp.asarray(scale), np.ones(N, bool),
+        radius=11, iters=20, interpret=True,
+    )
+    ok = np.asarray(ok)
+    assert ok.mean() > 0.6
+    d = np.asarray(p1)[ok] - p0[ok]
+    np.testing.assert_allclose(np.median(d, 0), [dx, dy], atol=0.3)
+
+
 def test_fp_level_drift_clamp_not_silently_good(rng):
     """A prior more than M+1 px off cannot be recovered at one level (the
     drift window clamps); such features must come back dead OR with a large

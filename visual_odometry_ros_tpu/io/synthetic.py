@@ -149,6 +149,95 @@ class TwoPlaneSequence:
         return self.render(T_cw_l), self.render(T_cw_r)
 
 
+class HardSequence:
+    """Adversarial wrapper for the accuracy procedure (BASELINE.md): exposure
+    drift, a moving occluder with independent motion, and repeated texture.
+
+    - Exposure: per-frame gain/bias drift (sinusoidal, +-15% gain, +-8 bias) —
+      breaks brightness constancy the way auto-exposure does on KITTI.
+    - Occluder: a textured rectangle sweeping across the view with its own
+      motion; tracks crossing it must be killed by the error/consistency
+      gates, not dragged.
+    - Repeated texture: small texture tile (tex_size 256) wraps many times
+      across the plane, creating self-similar structure that invites KLT
+      mismatches and RANSAC confusion.
+    """
+
+    def __init__(self, width=640, height=480, occluder=True, exposure=True, **kw):
+        kw.setdefault("tex_size", 256)
+        kw.setdefault("tex_scale", 90.0)
+        self.base = TwoPlaneSequence(width=width, height=height, **kw)
+        self.width, self.height = width, height
+        self.T_lr = self.base.T_lr
+        self.occluder = occluder
+        self.exposure = exposure
+        rng = np.random.default_rng(17)
+        occ = rng.uniform(20.0, 235.0, (64, 64)).astype(np.float32)
+        k = np.ones(3, np.float32) / 3
+        occ = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, occ)
+        self.occ_tex = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, occ)
+        self.frame_idx = 0
+
+    def _post(self, img: np.ndarray, frame: int, cam_offset_px: float) -> np.ndarray:
+        out = img
+        if self.exposure:
+            gain = 1.0 + 0.15 * np.sin(frame * 0.13)
+            bias = 8.0 * np.sin(frame * 0.071 + 1.0)
+            out = np.clip(out * gain + bias, 0.0, 255.0)
+        if self.occluder:
+            # Rectangle sweeping left->right, ~12% of image width, with
+            # disparity-consistent offset so it has plausible stereo depth.
+            w = int(self.width * 0.12)
+            h = int(self.height * 0.5)
+            x0 = int((frame * 9) % (self.width + w)) - w + int(cam_offset_px)
+            y0 = int(self.height * 0.25)
+            xs, xe = max(0, x0), min(self.width, x0 + w)
+            if xe > xs:
+                ys, ye = y0, y0 + h
+                ty, tx = np.meshgrid(
+                    np.arange(ys, ye) % 64, np.arange(xs, xe) % 64, indexing="ij"
+                )
+                out = out.copy()
+                out[ys:ye, xs:xe] = self.occ_tex[ty, tx]
+        return out.astype(np.float32)
+
+    def stereo_pair(self, T_wc: np.ndarray, frame: int | None = None):
+        if frame is None:
+            frame = self.frame_idx
+            self.frame_idx += 1
+        il, ir = self.base.stereo_pair(T_wc)
+        # Occluder sits ~6 m away -> disparity fx*b/6 px in the right image.
+        disp = self.base.a.fx * self.base.a.baseline / 6.0
+        return self._post(il, frame, 0.0), self._post(ir, frame, -disp)
+
+    def render(self, T_cw: np.ndarray, frame: int | None = None):
+        if frame is None:
+            frame = self.frame_idx
+            self.frame_idx += 1
+        return self._post(self.base.render(T_cw), frame, 0.0)
+
+
+def varied_trajectory(n_frames: int, step=0.3, seed=5):
+    """[n, 4, 4] T_wc poses: forward motion with speed variation, S-curves,
+    and gentle pitch/roll — a harder path than forward_trajectory."""
+    import jax.numpy as jnp
+
+    from ..utils import geometry as geo
+
+    poses = []
+    T = np.eye(4, dtype=np.float32)
+    for i in range(n_frames):
+        speed = step * (0.6 + 0.4 * np.sin(i * 0.05))
+        yaw = 0.004 * np.sin(i * 0.02)
+        pitch = 0.0008 * np.sin(i * 0.043)
+        roll = 0.0006 * np.sin(i * 0.031)
+        xi = np.array([0.0, 0.0, speed, pitch, yaw, roll], np.float32)
+        dT = np.asarray(geo.se3_exp(jnp.asarray(xi)))
+        T = T @ dT
+        poses.append(T.copy())
+    return np.stack(poses)
+
+
 def forward_trajectory(n_frames: int, step=0.25, yaw_rate=0.002, lateral=0.0):
     """[n, 4, 4] T_wc poses: forward (+z) motion with gentle yaw."""
     import jax.numpy as jnp

@@ -118,7 +118,11 @@ class MonoVO:
         )
 
     def _build_pyr(self, img):
-        return build_pyramid_with_gradients(img, self.klt_params.levels)
+        # The Pallas KLT computes template gradients in-kernel; gradient
+        # pyramids are only needed for the jnp fallback path.
+        return build_pyramid_with_gradients(
+            img, self.klt_params.levels, with_gradients=not self.klt_params.use_pallas
+        )
 
     def _first_frame_impl(self, img):
         pyr = self._build_pyr(img)
@@ -594,10 +598,14 @@ class MonoVO:
         stereo scan path; the per-frame host sync dominates wall time on a
         remote TPU)."""
 
+        # Batch u8 -> f32 once; per-frame retiling inside the scan costs
+        # ~1.4 ms/image on TPU (see stereo scan path).
+        imgs = imgs.astype(jnp.float32)
+
         def one_frame(carry, img):
             state, key = carry
             key, sub = jax.random.split(key)
-            state_new, sc = self._steady_step_impl(state, img.astype(jnp.float32))
+            state_new, sc = self._steady_step_impl(state, img)
 
             def fb(args):
                 prev, new, k = args
@@ -635,27 +643,27 @@ class MonoVO:
         self.state, self._key, (poses, sc, ba_errs, n_tris) = self._scan_steps(
             self.state, self._key, jnp.asarray(imgs)
         )
-        poses = np.asarray(poses)
-        ba_errs = np.asarray(ba_errs)
-        n_tris = np.asarray(n_tris)
+        # ONE device->host transfer for the whole batch output (remote-TPU
+        # readback RPCs dominate otherwise; see stereo track_stereo_batch).
+        poses, sc, ba_errs, n_tris = jax.device_get((poses, sc, ba_errs, n_tris))
         out = []
         for i in range(poses.shape[0]):
-            need_kf = bool(np.asarray(sc["need_keyframe"])[i])
+            need_kf = bool(sc["need_keyframe"][i])
             stats = {
                 "frame": len(self.trajectory),
                 "phase": "steady",
                 "keyframe": need_kf,
-                "n_tracked": int(np.asarray(sc["n_tracked"])[i]),
-                "n_inliers": int(np.asarray(sc["n_inliers"])[i]),
-                "n_new": int(np.asarray(sc["n_new"])[i]),
-                "pose_ok": bool(np.asarray(sc["pose_ok"])[i]),
-                "used_fallback": not bool(np.asarray(sc["pose_ok"])[i]),
-                "mean_reproj_err": float(np.asarray(sc["mean_reproj_err"])[i]),
-                "overlap_ratio": float(np.asarray(sc["overlap_ratio"])[i]),
-                "steering_angle": float(np.asarray(sc["steering_angle"])[i]),
-                "n_pass_1p": int(np.asarray(sc["n_pass_1p"])[i]),
-                "avg_parallax": float(np.asarray(sc["avg_parallax"])[i]),
-                "avg_age": float(np.asarray(sc["avg_age"])[i]),
+                "n_tracked": int(sc["n_tracked"][i]),
+                "n_inliers": int(sc["n_inliers"][i]),
+                "n_new": int(sc["n_new"][i]),
+                "pose_ok": bool(sc["pose_ok"][i]),
+                "used_fallback": not bool(sc["pose_ok"][i]),
+                "mean_reproj_err": float(sc["mean_reproj_err"][i]),
+                "overlap_ratio": float(sc["overlap_ratio"][i]),
+                "steering_angle": float(sc["steering_angle"][i]),
+                "n_pass_1p": int(sc["n_pass_1p"][i]),
+                "avg_parallax": float(sc["avg_parallax"][i]),
+                "avg_age": float(sc["avg_age"][i]),
                 "ba_err": float(ba_errs[i]) if ba_errs[i] >= 0 else None,
                 "n_triangulated": int(n_tris[i]),
             }

@@ -145,7 +145,11 @@ class StereoVO:
         )
 
     def _build_pyr(self, img):
-        return build_pyramid_with_gradients(img, self.klt_params.levels)
+        # The Pallas KLT computes template gradients in-kernel; gradient
+        # pyramids are only needed for the jnp fallback path.
+        return build_pyramid_with_gradients(
+            img, self.klt_params.levels, with_gradients=not self.klt_params.use_pallas
+        )
 
     def _stereo_match(self, pyr_l, pyr_r, pts_l, valid, depth_prior=None, bidir=True):
         """Static stereo matching: prior-seeded KLT along the epipolar line
@@ -501,13 +505,16 @@ class StereoVO:
         a batch (the per-frame host sync dominates wall time on a remote
         TPU; this is the production serving path)."""
 
+        # Images cross host->device in their native dtype (uint8 for real
+        # cameras: 4x less tunnel/PCIe payload); compute is f32. The convert
+        # runs ONCE on the whole batch here — per-frame u8 retiling inside
+        # the scan costs ~1.4 ms/image on TPU (measured), the batch op ~none.
+        imgs_l = imgs_l.astype(jnp.float32)
+        imgs_r = imgs_r.astype(jnp.float32)
+
         def one_frame(state, pair):
             il, ir = pair
-            # Images cross host->device in their native dtype (uint8 for real
-            # cameras: 4x less tunnel/PCIe payload); compute is f32.
-            state, stats = self._steady_step_impl(
-                state, il.astype(jnp.float32), ir.astype(jnp.float32)
-            )
+            state, stats = self._steady_step_impl(state, il, ir)
 
             def do_kf(s):
                 s2, ba_err = self._keyframe_step_impl(s)
@@ -551,23 +558,25 @@ class StereoVO:
             if il.shape[0] == 1:
                 return [self.stats_log[-1]]
         self.state, poses, fstats, ba_errs = self._scan_steps(self.state, il[start:], ir[start:])
-        poses = np.asarray(poses)
-        ba_errs = np.asarray(ba_errs)
+        # ONE device->host transfer for the whole batch output: per-field
+        # np.asarray reads are separate RPCs on a remote-attached TPU
+        # (~300 ms/batch of pure readback latency measured at 24 frames).
+        poses, fstats, ba_errs = jax.device_get((poses, fstats, ba_errs))
         out = []
         B = poses.shape[0]
         for i in range(B):
-            need_kf = bool(np.asarray(fstats.need_keyframe)[i])
+            need_kf = bool(fstats.need_keyframe[i])
             stats = {
                 "frame": len(self.trajectory),
                 "keyframe": need_kf,
-                "n_tracked": int(np.asarray(fstats.n_tracked)[i]),
-                "n_inliers": int(np.asarray(fstats.n_inliers)[i]),
-                "n_new": int(np.asarray(fstats.n_new)[i]),
-                "pose_ok": bool(np.asarray(fstats.pose_ok)[i]),
-                "mean_reproj_err": float(np.asarray(fstats.mean_reproj_err)[i]),
-                "overlap_ratio": float(np.asarray(fstats.overlap_ratio)[i]),
-                "avg_parallax": float(np.asarray(fstats.avg_parallax)[i]),
-                "avg_age": float(np.asarray(fstats.avg_age)[i]),
+                "n_tracked": int(fstats.n_tracked[i]),
+                "n_inliers": int(fstats.n_inliers[i]),
+                "n_new": int(fstats.n_new[i]),
+                "pose_ok": bool(fstats.pose_ok[i]),
+                "mean_reproj_err": float(fstats.mean_reproj_err[i]),
+                "overlap_ratio": float(fstats.overlap_ratio[i]),
+                "avg_parallax": float(fstats.avg_parallax[i]),
+                "avg_age": float(fstats.avg_age[i]),
                 "ba_err": float(ba_errs[i]) if ba_errs[i] >= 0 else None,
             }
             self.trajectory.append(poses[i])

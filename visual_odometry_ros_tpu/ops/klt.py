@@ -302,10 +302,13 @@ def track_with_scale(
     Returns (p1 [N, 2], mask [N]).
     """
     if use_pallas:
-        from .klt_pallas import track_scale_pallas
+        # Feature-parallel Phase-A/B kernel (klt_pallas_fp): patches resampled
+        # to canonical unit scale once, GN iterations whole-bank vectorized.
+        # Supersedes the latency-bound scalar-loop kernel in klt_pallas.py.
+        from .klt_pallas_fp import track_scale_fp
 
-        p1, err, ok = track_scale_pallas(
-            img0, du0, dv0, img1, p0, p1_init, scale_change, valid,
+        p1, err, ok = track_scale_fp(
+            img0, img1, p0, p1_init, scale_change, valid,
             radius=radius, iters=iters,
         )
         ok = ok & (err < max_err) & _in_border(p1, img1.shape, 3.0)

@@ -132,7 +132,7 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: i
     R = G * 32  # bank rows per block
 
     def kernel(b0_ref, b1_ref, ty_ref, tx_ref, dy0_ref, dx0_ref, act_ref,
-               y0_ref, x0_ref, ya1_ref, xa1_ref, out_ref):
+               y0_ref, x0_ref, ya1_ref, xa1_ref, sc_ref, out_ref):
         b0 = b0_ref[:]
         b1 = b1_ref[:]
 
@@ -216,12 +216,16 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: i
         # Template border mask: partial windows stay alive with the invalid
         # pixels zero-weighted (the jnp path's bilinear masks; the first
         # version killed any feature within radius+1 px of the border — a
-        # 7%-of-frame dead band at KITTI sizes).
+        # 7%-of-frame dead band at KITTI sizes). Bank coordinates map to
+        # image coordinates with a per-feature scale (1.0 for the plain
+        # variant; the predicted depth ratio for the trackWithScale variant,
+        # whose Phase A resampled the patch to canonical unit spacing).
         y0F = bcast(y0_ref[:])
         x0F = bcast(x0_ref[:])
+        sF = bcast(sc_ref[:])
         v0 = (
-            (y0F + rowi >= 0.0) & (y0F + rowi <= float(H - 1))
-            & (x0F + coli >= 0.0) & (x0F + coli <= float(W - 1))
+            (y0F + sF * rowi >= 0.0) & (y0F + sF * rowi <= float(H - 1))
+            & (x0F + sF * coli >= 0.0) & (x0F + sF * coli <= float(W - 1))
         )
         mask = (patch & v0).astype(jnp.float32)
 
@@ -251,8 +255,8 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: i
         lim = float(2 * _M + 1)
 
         def target_mask(dyF, dxF):
-            y = ya1F + dyF + rowi
-            x = xa1F + dxF + coli
+            y = ya1F + sF * (dyF + rowi)
+            x = xa1F + sF * (dxF + coli)
             return (
                 (y >= 0.0) & (y <= float(H - 1)) & (x >= 0.0) & (x <= float(W - 1))
             ).astype(jnp.float32)
@@ -303,11 +307,12 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: i
     return kernel
 
 
-def _iterate_banks(bank0, bank1, ty, tx, dy0, dx0, act, y0, x0, ya1, xa1,
+def _iterate_banks(bank0, bank1, ty, tx, dy0, dx0, act, y0, x0, ya1, xa1, sc,
                    S, iters, eps, min_eig, H, W, interpret=False):
-    """ty/tx/dy0/dx0/act/y0/x0/ya1/xa1: [G_total, 128] lane-replicated fields
-    (y0/x0 = template patch top-left in true image coords; ya1/xa1 = target
-    slab origin in true image coords — the border-validity anchors). Returns
+    """ty/tx/dy0/dx0/act/y0/x0/ya1/xa1/sc: [G_total, 128] lane-replicated
+    fields (y0/x0 = template patch top-left in true image coords; ya1/xa1 =
+    target bank origin in true image coords — the border-validity anchors;
+    sc = bank-to-image scale, 1.0 for the plain variant). Returns
     [4 * G_total, 128] stacked (dy, dx, err, ok) fields."""
     G_total = ty.shape[0]
     NF = G_total * 4
@@ -321,7 +326,7 @@ def _iterate_banks(bank0, bank1, ty, tx, dy0, dx0, act, y0, x0, ya1, xa1,
         in_specs=[
             pl.BlockSpec((R, 128), lambda i: (i, 0)),
             pl.BlockSpec((R, 128), lambda i: (i, 0)),
-        ] + [field_spec] * 9,
+        ] + [field_spec] * 10,
         out_specs=[pl.BlockSpec((4 * G, 128), lambda i: (i, 0))],
     )
     (out,) = pl.pallas_call(
@@ -329,7 +334,7 @@ def _iterate_banks(bank0, bank1, ty, tx, dy0, dx0, act, y0, x0, ya1, xa1,
         out_shape=[jax.ShapeDtypeStruct((n_blocks * 4 * G, 128), jnp.float32)],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(bank0, bank1, ty, tx, dy0, dx0, act, y0, x0, ya1, xa1)
+    )(bank0, bank1, ty, tx, dy0, dx0, act, y0, x0, ya1, xa1, sc)
     return out
 
 
@@ -453,6 +458,7 @@ def track_level_fp(
         _to_field(p0[:, 0] - radius, NF),
         _to_field(oy1, NF),
         _to_field(ox1, NF),
+        _to_field(jnp.ones((NF,), jnp.float32), NF),
         S,
         iters,
         eps,
@@ -475,3 +481,190 @@ def track_level_fp(
     )
     live = valid[:N] & (okf[:N] > 0.5) & in1
     return p1, live, err, act[:N]
+
+
+# ---------------------------------------------------------------------------
+# Scale-compensated variant (reference trackWithScale,
+# feature_tracker.cpp:236-504): Phase A resamples each feature's scaled patch
+# to a canonical unit-spacing 32x32 bank with two separable hat-weight
+# matmuls on the MXU; Phase B is the SAME _iterate_kernel with the scale
+# field mapping bank units back to image pixels for the border masks, and
+# the wrapper mapping the converged bank offset back to an image translation.
+# ---------------------------------------------------------------------------
+
+_S_MAX = 2.0  # bank-to-image scale range the slab extent supports
+_S_MIN = 0.5
+_SROWS = 72  # scale-slab rows: covers s<=2 * 31 bank rows + frac + sublane phase
+_SCOLS = 256  # scale-slab cols: 2*31 + frac + lane phase (two 128-tiles)
+_PT_S = 40  # top padding: bank origin p - s*(r+M) >= -28 at s=2
+_PL_S = 128  # left padding (lane-aligned)
+
+
+def _gather_scale_kernel(Hp: int, Wp: int):
+    def kernel(meta_ref, img0_ref, img1_ref, bank0_ref, bank1_ref):
+        # meta_ref: [FPB, 8] f32 SMEM rows
+        #   (by0, bx0, by1, bx1 — bank origins in PADDED image coords — s, 0, 0, 0)
+        ii_r = jax.lax.broadcasted_iota(jnp.int32, (32, _SROWS), 0).astype(jnp.float32)
+        pp_r = jax.lax.broadcasted_iota(jnp.int32, (32, _SROWS), 1).astype(jnp.float32)
+        ii_c = jax.lax.broadcasted_iota(jnp.int32, (32, _SCOLS), 0).astype(jnp.float32)
+        pp_c = jax.lax.broadcasted_iota(jnp.int32, (32, _SCOLS), 1).astype(jnp.float32)
+        _hi = jax.lax.Precision.HIGHEST
+
+        def resample(ref, by, bx, s):
+            """[32, 32] canonical bank: out[i, j] = img(by + s*i, bx + s*j)."""
+            y_al = pl.multiple_of((by.astype(jnp.int32) // 8) * 8, 8)
+            x_al = pl.multiple_of((bx.astype(jnp.int32) // 128) * 128, 128)
+            slab = ref[pl.ds(y_al, _SROWS), pl.ds(x_al, _SCOLS)]
+            offy = by - y_al.astype(jnp.float32)
+            offx = bx - x_al.astype(jnp.float32)
+            Wy = jnp.maximum(0.0, 1.0 - jnp.abs(offy + s * ii_r - pp_r))  # [32, SR]
+            Wx = jnp.maximum(0.0, 1.0 - jnp.abs(offx + s * ii_c - pp_c))  # [32, SC]
+            t = jax.lax.dot(Wy, slab, precision=_hi, preferred_element_type=jnp.float32)
+            return jax.lax.dot(
+                t, Wx.T, precision=_hi, preferred_element_type=jnp.float32
+            )
+
+        for g in range(_FPB_A // 4):
+            t0 = []
+            t1 = []
+            for c in range(4):
+                f = g * 4 + c
+                s = meta_ref[f, 4]
+                t0.append(resample(img0_ref, meta_ref[f, 0], meta_ref[f, 1], s))
+                t1.append(resample(img1_ref, meta_ref[f, 2], meta_ref[f, 3], s))
+            bank0_ref[pl.ds(g * 32, 32), :] = jnp.concatenate(t0, axis=1)
+            bank1_ref[pl.ds(g * 32, 32), :] = jnp.concatenate(t1, axis=1)
+
+    return kernel
+
+
+def _gather_scale_banks(img0, img1, meta, Hp, Wp, interpret=False):
+    """meta: [NF, 8] f32 (by0, bx0, by1, bx1, s, 0, 0, 0) padded coords."""
+    NF = meta.shape[0]
+    n_blocks = NF // _FPB_A
+    rows_b = _FPB_A // 4 * 32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((_FPB_A, 8), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows_b, 128), lambda i: (i, 0)),
+            pl.BlockSpec((rows_b, 128), lambda i: (i, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        _gather_scale_kernel(Hp, Wp),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * rows_b, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks * rows_b, 128), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(meta, img0, img1)
+
+
+@partial(jax.jit, static_argnames=("radius", "iters", "eps", "interpret"))
+def track_scale_fp(
+    img0: jax.Array,
+    img1: jax.Array,
+    p0: jax.Array,
+    p1_init: jax.Array,
+    scale_change: jax.Array,
+    valid: jax.Array,
+    radius: int = 11,
+    iters: int = 30,
+    eps: float = 0.01,
+    interpret: bool = False,
+):
+    """Feature-parallel scale-compensated IC-KLT (trackWithScale analog).
+
+    The per-feature patch spans p +- scale*radius image px; Phase A resamples
+    it to unit bank spacing, so the GN loop runs at the same cost as the
+    plain variant regardless of scale. scale_change is clipped to
+    [0.5, 2.0] (slab extent bound); template gradients come from in-bank
+    Scharr, i.e. smoothed at patch scale rather than image scale — the same
+    pyramid-level approximation OpenCV makes.
+
+    Returns (p1 [N, 2], err [N], ok [N]) matching track_scale_pallas.
+    """
+    N = p0.shape[0]
+    H, W = img0.shape
+    S = 2 * radius + 1
+    if S + 1 + _TER > 32:
+        raise ValueError(f"radius {radius} too large for 32-row tiles")
+
+    NF = _round_up(max(N, _BLK), _BLK)
+    pad = NF - N
+    if pad:
+        p0 = jnp.pad(p0, ((0, pad), (0, 0)))
+        p1_init = jnp.pad(p1_init, ((0, pad), (0, 0)))
+        scale_change = jnp.pad(scale_change, (0, pad), constant_values=1.0)
+        valid = jnp.pad(valid, (0, pad))
+
+    s = jnp.clip(scale_change, _S_MIN, _S_MAX)
+
+    Hp = _round_up(H + _PT_S, 8) + _SROWS
+    Wp = _round_up(W + _PL_S, 128) + _SCOLS
+    padspec = ((_PT_S, Hp - H - _PT_S), (_PL_S, Wp - W - _PL_S))
+    img0p = jnp.pad(img0, padspec)
+    img1p = jnp.pad(img1, padspec)
+
+    rM = float(radius + _M)
+
+    def origin(p):
+        by = p[:, 1] - s * rM + _PT_S
+        bx = p[:, 0] - s * rM + _PL_S
+        byc = jnp.clip(by, 0.0, float(Hp - _SROWS))
+        bxc = jnp.clip(bx, 0.0, float(Wp - _SCOLS))
+        ok = (by == byc) & (bx == bxc)
+        return byc, bxc, ok
+
+    by0, bx0, ok0 = origin(p0)
+    by1, bx1, ok1 = origin(p1_init)
+    act = valid & ok0 & ok1
+    meta = jnp.stack(
+        [by0, bx0, by1, bx1, s, jnp.zeros_like(s), jnp.zeros_like(s), jnp.zeros_like(s)],
+        axis=-1,
+    ).astype(jnp.float32)
+
+    bank0, bank1 = _gather_scale_banks(img0p, img1p, meta, Hp, Wp, interpret)
+
+    m_field = jnp.full((NF,), float(_M), jnp.float32)
+    out = _iterate_banks(
+        bank0,
+        bank1,
+        _to_field(m_field, NF),  # ty: resample placed the patch at offset M
+        _to_field(m_field, NF),
+        _to_field(m_field, NF),  # dy0 = M: prior at the drift-window center
+        _to_field(m_field, NF),
+        _to_field(act.astype(jnp.float32), NF),
+        _to_field(p0[:, 1] - s * radius, NF),  # template top-left, image coords
+        _to_field(p0[:, 0] - s * radius, NF),
+        _to_field(by1 - _PT_S, NF),  # target bank origin, image coords
+        _to_field(bx1 - _PL_S, NF),
+        _to_field(s, NF),
+        S,
+        iters,
+        eps,
+        0.0,  # no eigenvalue gate — jnp track_with_scale has none
+        H,
+        W,
+        interpret,
+    )
+    dy, dx, err, okf = _unstack_out(out, NF)
+
+    # Converged bank offset -> image position: patch center at origin + s*(d+r).
+    u1 = (bx1 - _PL_S) + s * (dx + radius)
+    v1 = (by1 - _PT_S) + s * (dy + radius)
+    p1 = jnp.stack([u1, v1], axis=-1)[:N]
+    err = err[:N]
+    in1 = (
+        (p1[:, 0] >= 0.0) & (p1[:, 1] >= 0.0)
+        & (p1[:, 0] <= W - 1.0) & (p1[:, 1] <= H - 1.0)
+    )
+    ok = valid[:N] & (okf[:N] > 0.5) & in1
+    return p1, err, ok

@@ -35,8 +35,12 @@ class PoseGNParams(NamedTuple):
     max_iters: int = 100
     huber_delta: float = 0.5
     lam: float = 1e-5  # multiplicative LM damping on the Hessian diagonal
-    step_tol: float = 1e-6
-    cost_tol: float = 1e-7
+    # Without per-step accept/reject, plain GN dithers at the noise floor
+    # near the optimum: step_tol below it never fires and every solve runs
+    # max_iters. 1e-4 (0.1 mm / 0.1 mrad) is far below VO noise, and local
+    # BA refines keyframe poses afterwards anyway.
+    step_tol: float = 1e-4
+    cost_tol: float = 1e-5  # relative |dcost| / cost
     reproj_thresh: float = 1.5  # px, inlier gate for the output mask
     min_inlier_ratio: float = 0.6
 
@@ -77,40 +81,35 @@ def _pose_gn_core(residual_fn, T_init, valid, params: PoseGNParams, n_rows: int)
     w_valid = valid.astype(jnp.float32)
     n_valid = jnp.maximum(jnp.sum(w_valid), 1.0)
 
-    def cost_of(r):
-        # Mean Huber-weighted squared error per valid point.
-        rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
-        w = huber_weight(rn, params.huber_delta)
-        return jnp.sum(w * rn * rn * w_valid) / n_valid
-
     def step(state):
+        # ONE residual/Jacobian evaluation per iteration, update always
+        # applied — the reference's damped-GN shape (motion_estimator.cpp:
+        # 713-810: fixed multiplicative lambda, break on small dxi or small
+        # cost change, NaN bail-out). The cost of the new pose is simply
+        # next iteration's cost, halving the per-iteration latency chain.
         T, prev_cost, it, done = state
         r, J = residual_fn(T)
         rn = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
         w = huber_weight(rn, params.huber_delta) * w_valid  # [N]
+        cost = jnp.sum(w * rn * rn) / n_valid
         # H = sum w * J^T J ; g = -sum w * J^T r  (full f32 contraction)
         Jw = J * w[:, None, None]
         H = jnp.einsum("nri,nrj->ij", Jw, J, precision=_HI)
         g = -jnp.einsum("nri,nr->i", Jw, r, precision=_HI)
         H = H + params.lam * jnp.diag(jnp.diag(H)) + 1e-9 * jnp.eye(6, dtype=H.dtype)
         dxi = _solve6(H, g)
-        T_new = geo.add_front_se3(T, dxi)
-        new_cost = cost_of(residual_fn(T_new)[0])
-        bad = ~jnp.all(jnp.isfinite(dxi)) | ~jnp.isfinite(new_cost)
-        accept = (~bad) & (new_cost <= prev_cost * (1.0 + 1e-6))
-        T = jnp.where(accept, T_new, T)
-        cost = jnp.where(accept, new_cost, prev_cost)
+        bad = ~jnp.all(jnp.isfinite(dxi))
+        T_new = jnp.where(bad, T, geo.add_front_se3(T, dxi))
         converged = (jnp.linalg.norm(dxi) < params.step_tol) | (
-            jnp.abs(prev_cost - new_cost) < params.cost_tol
+            jnp.abs(prev_cost - cost) < params.cost_tol * (cost + 1e-9)
         )
-        return T, cost, it + 1, done | converged | bad
+        return T_new, cost, it + 1, done | converged | bad
 
     def cond(state):
         _, _, it, done = state
         return (it < params.max_iters) & ~done
 
-    r0, _ = residual_fn(T_init)
-    state0 = (T_init, cost_of(r0), jnp.int32(0), jnp.array(False))
+    state0 = (T_init, jnp.asarray(jnp.inf, jnp.float32), jnp.int32(0), jnp.array(False))
     T, cost, it, _ = jax.lax.while_loop(cond, step, state0)
 
     r, _ = residual_fn(T)

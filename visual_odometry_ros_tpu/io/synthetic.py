@@ -65,13 +65,22 @@ class PlaneSequence:
         P = self.K @ (R @ A + t[:, None] @ np.array([[0.0, 0.0, 1.0]]))
         return P
 
-    def render(self, T_cw: np.ndarray) -> np.ndarray:
-        """Render the plane seen from camera pose T_cw (world->cam)."""
+    def render(self, T_cw: np.ndarray, pix: np.ndarray | None = None) -> np.ndarray:
+        """Render the plane seen from camera pose T_cw (world->cam).
+
+        pix: optional [H, W, 2] ideal-pinhole pixel coords to evaluate instead
+        of the regular grid — lets wrappers render through distorted lenses by
+        passing the undistorted location of each output pixel (the plane
+        texture is continuous, so off-frame ideal coords are fine).
+        """
         H = self._homography_cam_from_plane(T_cw)
         Hinv = np.linalg.inv(H)
-        uu, vv = np.meshgrid(
-            np.arange(self.width, dtype=np.float64), np.arange(self.height, dtype=np.float64)
-        )
+        if pix is not None:
+            uu, vv = pix[..., 0].astype(np.float64), pix[..., 1].astype(np.float64)
+        else:
+            uu, vv = np.meshgrid(
+                np.arange(self.width, dtype=np.float64), np.arange(self.height, dtype=np.float64)
+            )
         ph = np.stack([uu, vv, np.ones_like(uu)], axis=-1) @ Hinv.T
         s = ph[..., 0] / ph[..., 2]
         t = ph[..., 1] / ph[..., 2]
@@ -147,6 +156,50 @@ class TwoPlaneSequence:
         T_cw_l = np.linalg.inv(T_wc)
         T_cw_r = np.linalg.inv(T_wc @ self.T_lr.astype(np.float64))
         return self.render(T_cw_l), self.render(T_cw_r)
+
+
+class DistortedStereoSequence:
+    """Renders a PlaneSequence through radial-tangential distorted lenses.
+
+    For each distorted-image pixel we invert the radtan model (fixed-point,
+    the numpy analog of the reference's per-pixel GN inversion,
+    camera.cpp:89-161) to find the ideal-pinhole pixel, then evaluate the
+    plane homography there — an exact distorted render, no double resampling.
+    Drives the flagDoUndistortion=True path end to end (VERDICT r1 #8).
+    """
+
+    def __init__(self, base: PlaneSequence, dist, iters: int = 30):
+        self.base = base
+        self.dist = np.asarray(dist, np.float64)
+        self.width, self.height = base.width, base.height
+        self.T_lr = base.T_lr
+        uu, vv = np.meshgrid(
+            np.arange(self.width, dtype=np.float64), np.arange(self.height, dtype=np.float64)
+        )
+        xd = np.stack([(uu - base.cx) / base.fx, (vv - base.cy) / base.fy], axis=-1)
+        xn = xd.copy()
+        for _ in range(iters):
+            xn = xd - (self._distort(xn) - xn)
+        self.ideal_pix = np.stack(
+            [xn[..., 0] * base.fx + base.cx, xn[..., 1] * base.fy + base.cy], axis=-1
+        )
+
+    def _distort(self, xn: np.ndarray) -> np.ndarray:
+        k1, k2, p1, p2, k3 = self.dist
+        x, y = xn[..., 0], xn[..., 1]
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2**2 + k3 * r2**3
+        xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+        yd = y * radial + 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y)
+        return np.stack([xd, yd], axis=-1)
+
+    def stereo_pair(self, T_wc: np.ndarray):
+        T_cw_l = np.linalg.inv(T_wc)
+        T_cw_r = np.linalg.inv(T_wc @ self.T_lr.astype(np.float64))
+        return (
+            self.base.render(T_cw_l, pix=self.ideal_pix),
+            self.base.render(T_cw_r, pix=self.ideal_pix),
+        )
 
 
 class HardSequence:

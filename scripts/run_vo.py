@@ -48,6 +48,12 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=0, metavar="B",
                    help="device-resident batching: scan B frames per device call "
                         "(the serving path for remote/attached TPUs; 0 = per-frame)")
+    p.add_argument("--stage-timing", action="store_true",
+                   help="per-stage device timing in stats.jsonl (statisticsStamped "
+                        "time_track/1p/pose/new/ba fields; slower — per-stage sync)")
+    p.add_argument("--debug-images", action="store_true",
+                   help="write per-frame tracking overlays to <out>/debug/ "
+                        "(showTracking analog, mono_vo.cpp:392-475)")
     p.add_argument("--quiet", action="store_true")
     return p.parse_args(argv)
 
@@ -143,15 +149,44 @@ def main(argv=None):
 
     def record(stats, ts, dt_ms):
         nonlocal n_done
+        sm = stats.get("stage_ms") or {}
+        # scale est/gt per frame (statisticsStamped scale_cur_frame / gt):
+        # translation step length vs ground truth's.
+        scale_est = scale_gt = 0.0
+        fidx = stats.get("frame", n_done)
+        if len(vo.trajectory) >= 2 and fidx >= 1:
+            scale_est = float(np.linalg.norm(
+                vo.trajectory[-1][:3, 3] - vo.trajectory[-2][:3, 3]
+            ))
+            if gt is not None and fidx < len(gt):
+                scale_gt = float(np.linalg.norm(gt[fidx][:3, 3] - gt[fidx - 1][:3, 3]))
         slog.append(FrameRecord(
-            frame=stats.get("frame", n_done),
+            frame=fidx,
             timestamp=ts,
             keyframe=bool(stats.get("keyframe")),
-            exec=ExecStats(time_total=dt_ms),
+            steering_angle=float(stats.get("steering_angle", 0.0) or 0.0),
+            scale_est=scale_est,
+            scale_gt=scale_gt,
+            exec=ExecStats(
+                time_total=dt_ms,
+                time_track=sm.get("time_track", 0.0),
+                time_stereo=sm.get("time_stereo", 0.0),
+                time_1p=sm.get("time_1p", 0.0),
+                time_5p=sm.get("time_5p", 0.0),
+                time_pose=sm.get("time_pose", 0.0),
+                time_new=sm.get("time_new", 0.0),
+                time_ba=sm.get("time_ba", 0.0),
+            ),
             landmarks=LandmarkStats(
-                n_initial=stats.get("n_tracked", 0) or 0,
-                n_final=stats.get("n_inliers", 0) or 0,
+                n_initial=stats.get("n_initial", 0) or 0,
+                n_pass_bidirection=stats.get("n_tracked", 0) or 0,
+                n_pass_1p=stats.get("n_pass_1p", 0) or 0,
+                n_pass_5p=stats.get("n_inliers", 0) or 0,
                 n_new=stats.get("n_new", 0) or 0,
+                n_final=(stats.get("n_inliers", 0) or 0) + (stats.get("n_new", 0) or 0),
+                n_ok_parallax=stats.get("n_ok_parallax", 0) or 0,
+                avg_parallax=float(stats.get("avg_parallax", 0.0) or 0.0),
+                avg_age=float(stats.get("avg_age", 0.0) or 0.0),
             ),
         ))
         n_done += 1
@@ -186,10 +221,18 @@ def main(argv=None):
             continue
         t0 = time.perf_counter()
         if args.mode == "stereo":
-            T, stats = vo.track_stereo_images(left, right, ts)
+            T, stats = vo.track_stereo_images(left, right, ts, timed=args.stage_timing)
         else:
-            T, stats = vo.track_image(left, ts)
+            T, stats = vo.track_image(left, ts, timed=args.stage_timing)
         record(stats, ts, (time.perf_counter() - t0) * 1e3)
+        if args.debug_images and vo.state is not None:
+            from visual_odometry_ros_tpu.io.visualize import save_image
+
+            dbg_dir = os.path.join(args.out, "debug")
+            os.makedirs(dbg_dir, exist_ok=True)
+            save_image(
+                os.path.join(dbg_dir, f"{n_done - 1:06d}.png"), vo.debug_overlay(left)
+            )
     flush_batch()
 
     wall = time.perf_counter() - t_start

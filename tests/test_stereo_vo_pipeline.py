@@ -139,6 +139,31 @@ def test_stereo_vo_distorted_end_to_end():
     assert vo.stats_log[-1]["n_inliers"] > 50
 
 
+def test_stage_timing_stats_and_debug_overlay(seq):
+    """Observability parity (statisticsStamped.msg:2-14 / showTracking):
+    timed=True populates per-stage wall times, the funnel counts are filled,
+    and debug_overlay renders an RGB image with feature markers."""
+    world, poses_gt, frames = seq
+    vo = StereoVO(_small_cfg())
+    stats = None
+    for (il, ir) in frames[:5]:
+        T, stats = vo.track_stereo_images(il, ir, timed=True)
+
+    sm = stats["stage_ms"]
+    for k in ("time_track", "time_stereo", "time_pose", "time_new"):
+        assert sm[k] > 0.0, (k, sm)
+    assert stats["n_initial"] > 50
+    assert stats["n_tracked"] > 50
+    assert stats["n_ok_parallax"] >= 0
+    assert stats["avg_age"] > 1.0
+
+    rgb = vo.debug_overlay(frames[4][0])
+    assert rgb.shape == (480, 640, 3) and rgb.dtype == np.uint8
+    # Markers actually drawn: overlay differs from the plain grayscale stack.
+    gray3 = np.stack([np.clip(frames[4][0], 0, 255).astype(np.uint8)] * 3, axis=-1)
+    assert (rgb != gray3).any()
+
+
 def test_stereo_vo_scale_correct(seq):
     """Stereo VO must recover metric scale from the baseline."""
     world, poses_gt, frames = seq

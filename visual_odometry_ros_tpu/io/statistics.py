@@ -27,6 +27,7 @@ class ExecStats:
     time_stereo: float = 0.0  # static stereo matching (stereo mode)
     time_1p: float = 0.0
     time_5p: float = 0.0
+    time_pose: float = 0.0  # pose-only GN + gates
     time_new: float = 0.0
     time_ba: float = 0.0
 

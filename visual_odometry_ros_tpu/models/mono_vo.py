@@ -292,8 +292,9 @@ class MonoVO:
         )
         return tracks, arena, jnp.sum(put)
 
-    def _steady_step_impl(self, state: MonoVOState, img):
-        cfg = self.cfg
+    def _track_stage_impl(self, state: MonoVOState, img):
+        """Stage: pyramid + priors + bidirectional KLT + scale refinement
+        (statisticsStamped time_track bucket)."""
         tracks = state.tracks
         arena = state.arena
         pyr = self._build_pyr(img)
@@ -320,17 +321,27 @@ class MonoVO:
             use_pallas=self.klt_params.use_pallas,
         )
         pts1 = jnp.where(ok_scale[:, None], pts1_ref, pts1)
+        return pyr, pts1, ok_track, has_3d, scale_prior
 
-        # 1-point steering-angle stage (motion_estimator.cpp:471-537): the
-        # histogram vote always runs (the reference publishes the steering
-        # angle in its statistics topic); the circular-arc epipolar gate is
-        # applied only when configured (planar rigs).
+    def _onep_stage_impl(self, state: MonoVOState, pts1, ok_track):
+        """Stage: 1-point steering-angle histogram (motion_estimator.cpp:471-537;
+        time_1p bucket): the vote always runs (the reference publishes the
+        steering angle in its statistics topic); the circular-arc epipolar
+        gate is applied only when configured (planar rigs)."""
         op = EP.one_point_pose(
-            tracks.pts, pts1, ok_track, self.fx, self.fy, self.cx, self.cy,
-            thres_px=cfg.motion.thres_1p_error,
+            state.tracks.pts, pts1, ok_track, self.fx, self.fy, self.cx, self.cy,
+            thres_px=self.cfg.motion.thres_1p_error,
         )
-        if cfg.motion.use_1point_gate:
+        if self.cfg.motion.use_1point_gate:
             ok_track = ok_track & op.inliers
+        return op.theta, op.n_inliers, ok_track
+
+    def _pose_stage_impl(self, state: MonoVOState, pts1, ok_track, has_3d):
+        """Stage: pose-only GN + Sampson gate (time_pose bucket)."""
+        cfg = self.cfg
+        tracks = state.tracks
+        T_cw_prev = geo.se3_inverse(state.T_wc)
+        lm_X = state.arena.Xw[tracks.lm_idx]
 
         # Pose-only GN on triangulated landmarks with positive depth.
         X0 = geo.transform_points(T_cw_prev, lm_X)
@@ -353,6 +364,17 @@ class MonoVO:
         samp_ok = sampson_px2 < cfg.tracker.thres_sampson
         inliers = jnp.where(pose_ok, res.inliers, gn_valid)
         survived = ok_track & samp_ok & jnp.where(has_3d, inliers | ~pose_ok, True)
+        return T10, dT_new, T_wc_new, survived, pose_ok, res.mean_err, n_gn
+
+    def _update_stage_impl(
+        self, state: MonoVOState, pyr, img, pts1, ok_track, scale_prior,
+        T10, dT_new, T_wc_new, survived, pose_ok, mean_err, n_gn, theta_1p, n_pass_1p,
+    ):
+        """Stage: arena/parallax updates, replenishment, keyframe rule
+        (time_new bucket), final state/scalars assembly."""
+        cfg = self.cfg
+        tracks = state.tracks
+        arena = state.arena
 
         # Parallax update (rotation-compensated, landmark.cpp:107-134).
         r0_dir = jnp.stack(
@@ -415,21 +437,39 @@ class MonoVO:
             pyr_prev=pyr,
             frame_id=state.frame_id + 1,
         )
+        n_ok_parallax = jnp.sum(
+            arena.alive & (arena.parallax_max >= jnp.radians(cfg.map.thres_parallax))
+        )
         scalars = dict(
+            n_initial=jnp.sum(state.tracks.valid),
             n_tracked=jnp.sum(ok_track),
             n_gn=n_gn,
             n_inliers=jnp.sum(survived),
             n_new=n_new,
+            n_ok_parallax=n_ok_parallax,
             pose_ok=pose_ok,
-            mean_reproj_err=res.mean_err,
+            mean_reproj_err=mean_err,
             overlap_ratio=overlap,
             need_keyframe=need_kf,
-            steering_angle=op.theta,
-            n_pass_1p=op.n_inliers,
+            steering_angle=theta_1p,
+            n_pass_1p=n_pass_1p,
             avg_parallax=avg_parallax,
             avg_age=avg_age,
         )
         return new_state, scalars
+
+    def _steady_step_impl(self, state: MonoVOState, img):
+        """One steady frame = the four stage impls fused into one jit (the
+        production path; track_image(timed=True) jits each separately)."""
+        pyr, pts1, ok_track, has_3d, scale_prior = self._track_stage_impl(state, img)
+        theta_1p, n_pass_1p, ok_track = self._onep_stage_impl(state, pts1, ok_track)
+        T10, dT_new, T_wc_new, survived, pose_ok, mean_err, n_gn = self._pose_stage_impl(
+            state, pts1, ok_track, has_3d
+        )
+        return self._update_stage_impl(
+            state, pyr, img, pts1, ok_track, scale_prior,
+            T10, dT_new, T_wc_new, survived, pose_ok, mean_err, n_gn, theta_1p, n_pass_1p,
+        )
 
     def _fallback_5pt_impl(self, state_prev: MonoVOState, state_new: MonoVOState, key):
         """5-point fallback with scale propagation (mono_vo.cpp:908-949):
@@ -653,6 +693,8 @@ class MonoVO:
                 "frame": len(self.trajectory),
                 "phase": "steady",
                 "keyframe": need_kf,
+                "n_initial": int(sc["n_initial"][i]),
+                "n_ok_parallax": int(sc["n_ok_parallax"][i]),
                 "n_tracked": int(sc["n_tracked"][i]),
                 "n_inliers": int(sc["n_inliers"][i]),
                 "n_new": int(sc["n_new"][i]),
@@ -676,7 +718,60 @@ class MonoVO:
 
     # ------------------------------------------------------------------
 
-    def track_image(self, img: np.ndarray, timestamp: float = 0.0):
+    def _steady_step_timed(self, state: MonoVOState, im):
+        """Instrumented steady step: stages jitted separately and host-timed
+        (the reference's tic/toc stage instrumentation, mono_vo.cpp:762-790)."""
+        import time as _time
+
+        if not hasattr(self, "_j_stages"):
+            self._j_stages = (
+                jax.jit(self._track_stage_impl),
+                jax.jit(self._onep_stage_impl),
+                jax.jit(self._pose_stage_impl),
+                jax.jit(self._update_stage_impl),
+            )
+        jt, j1, jp, ju = self._j_stages
+        t0 = _time.perf_counter()
+        pyr, pts1, ok_track, has_3d, scale_prior = jax.block_until_ready(jt(state, im))
+        t1 = _time.perf_counter()
+        theta_1p, n_pass_1p, ok_track = jax.block_until_ready(j1(state, pts1, ok_track))
+        t2 = _time.perf_counter()
+        out_p = jax.block_until_ready(jp(state, pts1, ok_track, has_3d))
+        t3 = _time.perf_counter()
+        new_state, scalars = jax.block_until_ready(
+            ju(state, pyr, im, pts1, ok_track, scale_prior, *out_p, theta_1p, n_pass_1p)
+        )
+        t4 = _time.perf_counter()
+        stage_ms = {
+            "time_track": (t1 - t0) * 1e3,
+            "time_1p": (t2 - t1) * 1e3,
+            "time_pose": (t3 - t2) * 1e3,
+            "time_new": (t4 - t3) * 1e3,
+        }
+        return new_state, scalars, stage_ms
+
+    def debug_overlay(self, img: np.ndarray) -> np.ndarray:
+        """Per-frame debug image (reference showTracking, mono_vo.cpp:392-475)."""
+        from ..io.visualize import draw_tracking
+        from ..utils import geometry as _geo
+
+        st = self.state
+        pts = np.asarray(st.tracks.pts)
+        valid = np.asarray(st.tracks.valid)
+        lm_idx = np.asarray(st.tracks.lm_idx)
+        new_mask = np.asarray(st.arena.age)[lm_idx] <= 1
+        T_cw = np.asarray(_geo.se3_inverse(st.T_wc))
+        Xw = np.asarray(st.arena.Xw)[lm_idx]
+        Xc = Xw @ T_cw[:3, :3].T + T_cw[:3, 3]
+        tri = np.asarray(st.arena.triangulated)[lm_idx] & valid & (Xc[:, 2] > 0.1)
+        uv = Xc[:, :2] / np.maximum(Xc[:, 2:3], 1e-6) * np.array([self.fx, self.fy]) + np.array(
+            [self.cx, self.cy]
+        )
+        return draw_tracking(img, pts, valid, new_mask, uv[tri])
+
+    def track_image(self, img: np.ndarray, timestamp: float = 0.0, timed: bool = False):
+        import time as _time
+
         im = jnp.asarray(img, jnp.float32)
         if self.phase == 0:
             self.state = self._first_frame(im)
@@ -690,7 +785,7 @@ class MonoVO:
             self.state, med_disp, n_ok = self._init_track(self.state, im)
             med_disp = float(med_disp)
             stats = {
-                "frame": int(self.state.frame_id),
+                "frame": len(self.trajectory),  # trajectory index of this frame
                 "phase": "init",
                 "median_disp": med_disp,
                 "n_tracked": int(n_ok),
@@ -712,25 +807,39 @@ class MonoVO:
             return np.asarray(self.state.T_wc), stats
 
         prev_state = self.state
-        self.state, sc = self._steady_step(self.state, im)
+        if timed:
+            self.state, sc, stage_ms = self._steady_step_timed(self.state, im)
+        else:
+            self.state, sc = self._steady_step(self.state, im)
+            stage_ms = None
         pose_ok = bool(sc["pose_ok"])
         used_fallback = False
         if not pose_ok:
+            t_5p = _time.perf_counter()
             self._key, sub = jax.random.split(self._key)
             self.state, fb_ok = self._fallback_5pt(prev_state, self.state, sub)
             used_fallback = True
+            if stage_ms is not None:
+                jax.block_until_ready(self.state)
+                stage_ms["time_5p"] = (_time.perf_counter() - t_5p) * 1e3
         need_kf = bool(sc["need_keyframe"])
         ba_err = None
         n_tri = 0
         if need_kf:
+            t_ba = _time.perf_counter()
             self.state, ba_err, n_tri = self._keyframe_step(self.state)
-            ba_err, n_tri = float(ba_err), int(n_tri)
+            ba_err, n_tri = float(ba_err), int(n_tri)  # sync point
+            if stage_ms is not None:
+                stage_ms["time_ba"] = (_time.perf_counter() - t_ba) * 1e3
 
         T_wc = np.asarray(self.state.T_wc)
         stats = {
-            "frame": int(self.state.frame_id),
+            # Trajectory index (matches frame_poses.txt rows + batch numbering).
+            "frame": len(self.trajectory),
             "phase": "steady",
             "keyframe": need_kf,
+            "n_initial": int(sc["n_initial"]),
+            "n_ok_parallax": int(sc["n_ok_parallax"]),
             "n_tracked": int(sc["n_tracked"]),
             "n_gn": int(sc["n_gn"]),
             "n_inliers": int(sc["n_inliers"]),
@@ -746,6 +855,8 @@ class MonoVO:
             "ba_err": ba_err,
             "n_triangulated": n_tri,
         }
+        if stage_ms is not None:
+            stats["stage_ms"] = stage_ms
         self.trajectory.append(T_wc)
         if need_kf:
             self.kf_trajectory.append((stats["frame"], T_wc))

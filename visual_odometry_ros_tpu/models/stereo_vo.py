@@ -55,6 +55,7 @@ class StereoVOState(NamedTuple):
 
 
 class FrameStats(NamedTuple):
+    n_initial: jax.Array  # valid track lanes entering the frame (msg n_initial)
     n_tracked: jax.Array
     n_inliers: jax.Array
     n_new: jax.Array
@@ -66,6 +67,7 @@ class FrameStats(NamedTuple):
     need_keyframe: jax.Array
     avg_parallax: jax.Array  # rad, mean over tracked landmarks (msg avg_parallax)
     avg_age: jax.Array  # frames, mean over tracked landmarks (msg avg_age)
+    n_ok_parallax: jax.Array  # landmarks past the parallax threshold (msg n_ok_parallax)
 
 
 class StereoVO:
@@ -269,8 +271,9 @@ class StereoVO:
             frame_id=jnp.asarray(1, jnp.int32),
         )
 
-    def _steady_step_impl(self, state: StereoVOState, img_l, img_r):
-        cfg = self.cfg
+    def _track_stage_impl(self, state: StereoVOState, img_l, img_r):
+        """Stage [2-4-1]: pyramids, constant-velocity priors, prior-seeded KLT,
+        scale-compensated refinement (statisticsStamped time_track bucket)."""
         tracks = state.tracks
         arena = state.arena
         pyr_l = self._build_pyr(img_l)
@@ -300,13 +303,19 @@ class StereoVO:
             use_pallas=self.klt_params.use_pallas,
         )
         pts1 = jnp.where(ok_scale[:, None], pts1_ref, pts1)
+        return pyr_l, pyr_r, pts1, ok_track, has_3d, prior_depth, scale_prior
 
-        # [5] static stereo matching with depth prior (forward-only, as the
-        # reference's trackWithPrior call).
-        pts_r1, ok_stereo, disp = self._stereo_match(
+    def _stereo_stage_impl(self, pyr_l, pyr_r, pts1, ok_track, has_3d, prior_depth):
+        """Stage [5]: static stereo matching with depth prior (forward-only,
+        as the reference's trackWithPrior call; time_stereo bucket)."""
+        return self._stereo_match(
             pyr_l, pyr_r, pts1, ok_track, jnp.where(has_3d, prior_depth, 10.0), bidir=False
         )
 
+    def _pose_stage_impl(self, state: StereoVOState, pts1, pts_r1, ok_track, ok_stereo, has_3d):
+        """Stages [6-7]: stereo pose-only GN + reprojection gate (time_pose)."""
+        T_cw_prev = geo.se3_inverse(state.T_wc)
+        lm_X = state.arena.Xw[state.tracks.lm_idx]
         # [6] stereo pose-only GN. X0 = landmarks in previous left-cam frame.
         X0 = geo.transform_points(T_cw_prev, lm_X)
         gn_valid = ok_track & has_3d
@@ -334,6 +343,19 @@ class StereoVO:
         # [7] outlier gate: pose-GN reprojection inliers.
         inliers = jnp.where(res.ok, res.inliers, gn_valid)
         survived = ok_track & jnp.where(has_3d, inliers, True)
+        return T10, dT_new, T_wc_new, survived, res.ok, res.mean_err
+
+    def _update_stage_impl(
+        self, state: StereoVOState, pyr_l, pyr_r, pts1, pts_r1, ok_track, ok_stereo,
+        scale_prior, T10, dT_new, T_wc_new, survived, pose_ok, mean_err,
+    ):
+        """Stages [8-12]: arena/parallax updates, replenishment, keyframe rule
+        (time_new bucket), and final state/stats assembly."""
+        cfg = self.cfg
+        tracks = state.tracks
+        arena = state.arena
+        T_cw_prev = geo.se3_inverse(state.T_wc)
+        lm_X = arena.Xw[tracks.lm_idx]
 
         # [8] arena observation updates + parallax (rotation-compensated).
         ray_prev = geo.transform_points(T_cw_prev, lm_X)
@@ -389,18 +411,26 @@ class StereoVO:
             | (rot_deg > cfg.keyframe.thres_rotation)
         )
 
+        # Landmarks whose accumulated max parallax clears the map threshold
+        # (statisticsStamped n_ok_parallax).
+        n_ok_parallax = jnp.sum(
+            arena.alive & (arena.parallax_max >= jnp.radians(cfg.map.thres_parallax))
+        )
+
         stats = FrameStats(
+            n_initial=jnp.sum(state.tracks.valid),
             n_tracked=jnp.sum(ok_track),
             n_inliers=jnp.sum(survived),
             n_new=n_new,
-            pose_ok=res.ok,
-            mean_reproj_err=res.mean_err,
+            pose_ok=pose_ok,
+            mean_reproj_err=mean_err,
             overlap_ratio=overlap,
             kf_translation=trans,
             kf_rotation_deg=rot_deg,
             need_keyframe=need_kf,
             avg_parallax=avg_parallax,
             avg_age=avg_age,
+            n_ok_parallax=n_ok_parallax,
         )
 
         new_state = state._replace(
@@ -414,6 +444,24 @@ class StereoVO:
             frame_id=state.frame_id + 1,
         )
         return new_state, stats
+
+    def _steady_step_impl(self, state: StereoVOState, img_l, img_r):
+        """One steady-state frame = the four stage impls fused into one jit
+        (the production path; the instrumented path in track_stereo_images
+        jits each stage separately to host-time them)."""
+        pyr_l, pyr_r, pts1, ok_track, has_3d, prior_depth, scale_prior = self._track_stage_impl(
+            state, img_l, img_r
+        )
+        pts_r1, ok_stereo, _disp = self._stereo_stage_impl(
+            pyr_l, pyr_r, pts1, ok_track, has_3d, prior_depth
+        )
+        T10, dT_new, T_wc_new, survived, pose_ok, mean_err = self._pose_stage_impl(
+            state, pts1, pts_r1, ok_track, ok_stereo, has_3d
+        )
+        return self._update_stage_impl(
+            state, pyr_l, pyr_r, pts1, pts_r1, ok_track, ok_stereo, scale_prior,
+            T10, dT_new, T_wc_new, survived, pose_ok, mean_err,
+        )
 
     def _retriangulate_tracked(self, state: StereoVOState):
         """Keyframe-time depth refresh (reference stereo_vo.cpp:764-797):
@@ -569,6 +617,8 @@ class StereoVO:
             stats = {
                 "frame": len(self.trajectory),
                 "keyframe": need_kf,
+                "n_initial": int(fstats.n_initial[i]),
+                "n_ok_parallax": int(fstats.n_ok_parallax[i]),
                 "n_tracked": int(fstats.n_tracked[i]),
                 "n_inliers": int(fstats.n_inliers[i]),
                 "n_new": int(fstats.n_new[i]),
@@ -586,8 +636,71 @@ class StereoVO:
             out.append(stats)
         return out
 
-    def track_stereo_images(self, img_l: np.ndarray, img_r: np.ndarray, timestamp: float = 0.0):
-        """Process one stereo pair; returns (T_wc [4,4] np, stats dict)."""
+    def _steady_step_timed(self, state: StereoVOState, il, ir):
+        """Instrumented steady step: each stage jitted separately and host-
+        timed with block_until_ready — the structured successor of the
+        reference's tic/toc around pipeline stages (stereo_vo.cpp:531-560).
+        Slower than the fused path (per-stage device sync); use for the
+        statistics topic / profiling, not the serving path."""
+        import time as _time
+
+        if not hasattr(self, "_j_stages"):
+            self._j_stages = (
+                jax.jit(self._track_stage_impl),
+                jax.jit(self._stereo_stage_impl),
+                jax.jit(self._pose_stage_impl),
+                jax.jit(self._update_stage_impl),
+            )
+        jt, js, jp, ju = self._j_stages
+        t0 = _time.perf_counter()
+        out_t = jax.block_until_ready(jt(state, il, ir))
+        t1 = _time.perf_counter()
+        pyr_l, pyr_r, pts1, ok_track, has_3d, prior_depth, scale_prior = out_t
+        out_s = jax.block_until_ready(js(pyr_l, pyr_r, pts1, ok_track, has_3d, prior_depth))
+        t2 = _time.perf_counter()
+        pts_r1, ok_stereo, _disp = out_s
+        out_p = jax.block_until_ready(jp(state, pts1, pts_r1, ok_track, ok_stereo, has_3d))
+        t3 = _time.perf_counter()
+        new_state, stats = jax.block_until_ready(
+            ju(state, pyr_l, pyr_r, pts1, pts_r1, ok_track, ok_stereo, scale_prior, *out_p)
+        )
+        t4 = _time.perf_counter()
+        stage_ms = {
+            "time_track": (t1 - t0) * 1e3,
+            "time_stereo": (t2 - t1) * 1e3,
+            "time_pose": (t3 - t2) * 1e3,
+            "time_new": (t4 - t3) * 1e3,
+        }
+        return new_state, stats, stage_ms
+
+    def debug_overlay(self, img_l: np.ndarray) -> np.ndarray:
+        """Per-frame debug image (reference showTracking, mono_vo.cpp:392-475):
+        tracked features green, new features blue, landmark reprojections red."""
+        from ..io.visualize import draw_tracking
+
+        st = self.state
+        pts = np.asarray(st.tracks.pts)
+        valid = np.asarray(st.tracks.valid)
+        lm_idx = np.asarray(st.tracks.lm_idx)
+        new_mask = np.asarray(st.arena.age)[lm_idx] <= 1
+        T_cw = np.asarray(geo.se3_inverse(st.T_wc))
+        Xw = np.asarray(st.arena.Xw)[lm_idx]
+        Xc = Xw @ T_cw[:3, :3].T + T_cw[:3, 3]
+        tri = np.asarray(st.arena.triangulated)[lm_idx] & valid & (Xc[:, 2] > 0.1)
+        uv = Xc[:, :2] / np.maximum(Xc[:, 2:3], 1e-6) * np.array([self.fx, self.fy]) + np.array(
+            [self.cx, self.cy]
+        )
+        return draw_tracking(img_l, pts, valid, new_mask, uv[tri])
+
+    def track_stereo_images(
+        self, img_l: np.ndarray, img_r: np.ndarray, timestamp: float = 0.0, timed: bool = False
+    ):
+        """Process one stereo pair; returns (T_wc [4,4] np, stats dict).
+
+        timed=True routes through the instrumented per-stage path and adds a
+        'stage_ms' dict to stats (statisticsStamped time_* fields)."""
+        import time as _time
+
         il = jnp.asarray(img_l, jnp.float32)
         ir = jnp.asarray(img_r, jnp.float32)
         if self.cfg.flagDoUndistortion:
@@ -601,20 +714,31 @@ class StereoVO:
             self.stats_log.append(stats)
             return np.eye(4, dtype=np.float32), stats
 
-        self.state, fstats = self._steady_step(self.state, il, ir)
+        if timed:
+            self.state, fstats, stage_ms = self._steady_step_timed(self.state, il, ir)
+        else:
+            self.state, fstats = self._steady_step(self.state, il, ir)
+            stage_ms = None
         need_kf = bool(fstats.need_keyframe)
         ba_err = None
         if need_kf:
+            t_ba = _time.perf_counter()
             self.state, ba_err = self._keyframe_step(self.state)
-            ba_err = float(ba_err)
+            ba_err = float(ba_err)  # sync point: includes device time
+            if stage_ms is not None:
+                stage_ms["time_ba"] = (_time.perf_counter() - t_ba) * 1e3
 
         T_wc = np.asarray(self.state.T_wc)
         stats = {
-            "frame": int(self.state.frame_id),
+            # Trajectory index of this frame (matches frame_poses.txt rows and
+            # the batch path's numbering; state.frame_id counts frames *seen*).
+            "frame": len(self.trajectory),
             "keyframe": need_kf,
+            "n_initial": int(fstats.n_initial),
             "n_tracked": int(fstats.n_tracked),
             "n_inliers": int(fstats.n_inliers),
             "n_new": int(fstats.n_new),
+            "n_ok_parallax": int(fstats.n_ok_parallax),
             "pose_ok": bool(fstats.pose_ok),
             "mean_reproj_err": float(fstats.mean_reproj_err),
             "overlap_ratio": float(fstats.overlap_ratio),
@@ -622,6 +746,8 @@ class StereoVO:
             "avg_age": float(fstats.avg_age),
             "ba_err": ba_err,
         }
+        if stage_ms is not None:
+            stats["stage_ms"] = stage_ms
         self.trajectory.append(T_wc)
         if need_kf:
             self.kf_trajectory.append((stats["frame"], T_wc))

@@ -348,7 +348,10 @@ class MonoVO:
         gn_valid = ok_track & has_3d & (X0[..., 2] > 0.1)
         n_gn = jnp.sum(gn_valid)
         T10_init = geo.se3_inverse(state.dT)
-        res = PG.pose_only_gn_mono(
+        # Two-pass gated GN (see pose_gn.pose_only_gn_mono_robust): a hard
+        # reprojection gate + re-solve strips coherent dynamic outliers that
+        # bias the single Huber solve.
+        res, err_px = PG.pose_only_gn_mono_robust(
             X0, pts1, gn_valid, self.fx, self.fy, self.cx, self.cy, T10_init, self.pose_params
         )
         pose_ok = res.ok & (n_gn >= 10)
@@ -362,8 +365,12 @@ class MonoVO:
         xn1 = cam_mod.pixel_to_normalized(self.cam, pts1)
         sampson_px2 = EP.sampson_distance(E, xn0, xn1) * self.fx * self.fx
         samp_ok = sampson_px2 < cfg.tracker.thres_sampson
-        inliers = jnp.where(pose_ok, res.inliers, gn_valid)
-        survived = ok_track & samp_ok & jnp.where(has_3d, inliers | ~pose_ok, True)
+        # Fail-soft gate: on GN failure survivors are still gated by
+        # reprojection under the constant-velocity prior (2x threshold) —
+        # keeping everything would feed dynamic outliers into the map.
+        loose = gn_valid & (err_px < 2.0 * self.pose_params.reproj_thresh)
+        inliers = jnp.where(pose_ok, res.inliers, loose)
+        survived = ok_track & samp_ok & jnp.where(has_3d, inliers, True)
         return T10, dT_new, T_wc_new, survived, pose_ok, res.mean_err, n_gn
 
     def _update_stage_impl(
@@ -598,15 +605,25 @@ class MonoVO:
         res = BA.ba_solve(
             problem, self.fx, self.fy, self.cx, self.cy, jnp.asarray(self.T_rl_dummy), self.ba_params
         )
+        # Acceptance guard (see stereo twin): reject a solve that ends worse
+        # than it started instead of writing a diverged window back.
+        accept = (
+            jnp.isfinite(res.mean_err_px)
+            & (res.mean_err_px <= res.mean_err0_px * 1.05 + 0.1)
+            & (res.mean_err_px < 8.0)
+        )
+        T_cw_res = jnp.where(accept, res.T_cw, T_cw_win)
+        Xw_res = jnp.where(accept, res.Xw, arena.Xw)
+        killed = res.killed & accept
         order = A.ring_order(ring)
         # Permutation write-back as one-hot einsum (scatter-free on TPU).
         perm = (order[:, None] == jnp.arange(ring.capacity, dtype=order.dtype)[None, :]).astype(jnp.float32)
-        ring = ring._replace(T_cw=jnp.einsum("pk,pij->kij", perm, res.T_cw))
+        ring = ring._replace(T_cw=jnp.einsum("pk,pij->kij", perm, T_cw_res))
         T_wc_new = geo.se3_inverse(ring.T_cw[ring.head])
-        touched = (arena.alive & arena.triangulated) & (jnp.sum(problem.mask, axis=1) >= 2)
+        touched = (arena.alive & arena.triangulated) & (jnp.sum(problem.mask, axis=1) >= 2) & accept
         arena = arena._replace(
-            Xw=res.Xw,
-            alive=arena.alive & ~res.killed,
+            Xw=Xw_res,
+            alive=arena.alive & ~killed,
             bundled=arena.bundled | touched,
         )
         n_tri = jnp.sum(tri_ok | promote)
@@ -614,7 +631,7 @@ class MonoVO:
         # Post-BA patch-scale recompute (mono_vo.cpp:1085-1128): refresh each
         # tracked landmark's patch scale from BA-refined geometry — scale =
         # depth in its first observing window KF / depth in the current frame.
-        T0_ref = res.T_cw[first_k]  # [M, 4, 4] refined pose of first observing KF
+        T0_ref = T_cw_res[first_k]  # [M, 4, 4] refined pose of first observing KF
         d0 = jnp.einsum("mj,mj->m", T0_ref[:, 2, :3], arena.Xw) + T0_ref[:, 2, 3]
         T_cw_new = geo.se3_inverse(T_wc_new)
         d1 = arena.Xw @ T_cw_new[2, :3] + T_cw_new[2, 3]

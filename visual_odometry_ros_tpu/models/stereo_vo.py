@@ -164,16 +164,24 @@ class StereoVO:
         else:
             disp = self.fx * self.baseline / jnp.maximum(depth_prior, 0.5)
         prior = pts_l - jnp.stack([disp, jnp.zeros_like(disp)], axis=-1)
+        # epi1d: rectified stereo is a 1-D search along the epipolar row —
+        # constraining the KLT update to x makes repeated/self-similar
+        # texture unable to drag the match off-row (2-D KLT loses 3-7 px
+        # vertically on tiled texture, failing the row gate and starving
+        # replenishment).
         if bidir:
             pts_r, ok = KLT.track_bidirectional_pyr(
-                pyr_l, pyr_r, pts_l, prior, valid, self.klt_params, fb_scale=5.0, back_levels=1
+                pyr_l, pyr_r, pts_l, prior, valid, self.klt_params,
+                fb_scale=5.0, back_levels=1, epi1d=True,
             )
         else:
             pts_r, ok = KLT.track_with_prior_pyr(
-                pyr_l, pyr_r, pts_l, prior, valid, self.klt_params, track_levels=2
+                pyr_l, pyr_r, pts_l, prior, valid, self.klt_params,
+                track_levels=2, epi1d=True,
             )
         disp_out = pts_l[:, 0] - pts_r[:, 0]
-        # Rectified: matches must stay on the epipolar row, positive disparity.
+        # Rectified: matches must stay on the epipolar row (trivially exact in
+        # epi1d mode), positive disparity.
         row_ok = jnp.abs(pts_r[:, 1] - pts_l[:, 1]) < 2.0
         ok = ok & row_ok & (disp_out > 0.3)
         return pts_r, ok, disp_out
@@ -320,7 +328,10 @@ class StereoVO:
         X0 = geo.transform_points(T_cw_prev, lm_X)
         gn_valid = ok_track & has_3d
         T10_init = geo.se3_inverse(state.dT)
-        res = PG.pose_only_gn_stereo(
+        # Two-pass gated GN: coherent dynamic outliers (stereo-consistent
+        # landmarks riding a moving object) bias a single Huber solve; the
+        # hard gate + re-solve recovers the static set.
+        res, err_px = PG.pose_only_gn_stereo_robust(
             X0,
             pts1,
             pts_r1,
@@ -340,8 +351,13 @@ class StereoVO:
         dT_new = geo.se3_inverse(T10)
         T_wc_new = state.T_wc @ dT_new
 
-        # [7] outlier gate: pose-GN reprojection inliers.
-        inliers = jnp.where(res.ok, res.inliers, gn_valid)
+        # [7] outlier gate: pose-GN reprojection inliers. On GN failure the
+        # gate still applies under the prior pose at 2x threshold — keeping
+        # ALL tracks would feed the very outliers that broke the solve into
+        # the arena, re-triangulation, and BA (death-spiral on dynamic
+        # scenes).
+        loose = gn_valid & (err_px < 2.0 * self.pose_params.reproj_thresh)
+        inliers = jnp.where(res.ok, res.inliers, loose)
         survived = ok_track & jnp.where(has_3d, inliers, True)
         return T10, dT_new, T_wc_new, survived, res.ok, res.mean_err
 
@@ -532,17 +548,29 @@ class StereoVO:
         res = BA.ba_solve(
             problem, self.fx, self.fy, self.cx, self.cy, jnp.asarray(self.T_rl), self.ba_params
         )
+        # Acceptance guard: a solve that ends worse than it started (poisoned
+        # window — dynamic-object landmarks, bad poses) is rejected wholesale;
+        # the reference throws on divergence (:652-654), a running system
+        # keeps the pre-BA state instead.
+        accept = (
+            jnp.isfinite(res.mean_err_px)
+            & (res.mean_err_px <= res.mean_err0_px * 1.05 + 0.1)
+            & (res.mean_err_px < 8.0)
+        )
+        T_cw_res = jnp.where(accept, res.T_cw, gathered["T_cw"])
+        Xw_res = jnp.where(accept, res.Xw, state.arena.Xw)
+        killed = res.killed & accept
         # Scatter refined poses back into ring slots.
         order = A.ring_order(ring)
         # Permutation write-back as one-hot einsum (scatter-free on TPU).
         perm = (order[:, None] == jnp.arange(ring.capacity, dtype=order.dtype)[None, :]).astype(jnp.float32)
-        ring = ring._replace(T_cw=jnp.einsum("pk,pij->kij", perm, res.T_cw))
+        ring = ring._replace(T_cw=jnp.einsum("pk,pij->kij", perm, T_cw_res))
         # The newest keyframe is the current frame: adopt its refined pose.
         T_wc_new = geo.se3_inverse(ring.T_cw[ring.head])
-        touched = gathered["lm_valid"] & (jnp.sum(problem.mask, axis=1) >= 2)
+        touched = gathered["lm_valid"] & (jnp.sum(problem.mask, axis=1) >= 2) & accept
         arena = state.arena._replace(
-            Xw=res.Xw,
-            alive=state.arena.alive & ~res.killed,
+            Xw=Xw_res,
+            alive=state.arena.alive & ~killed,
             bundled=state.arena.bundled | touched,
         )
         return state._replace(T_wc=T_wc_new, ring=ring, arena=arena), res.mean_err_px

@@ -72,6 +72,7 @@ class BAResult(NamedTuple):
     killed: jax.Array  # [M] landmarks beyond the kill radius (caller prunes)
     mean_err_px: jax.Array  # masked mean reprojection error after solve
     n_obs: jax.Array
+    mean_err0_px: jax.Array  # same error BEFORE the solve (acceptance guard)
 
 
 def _proj_jac(Xc, fx, fy):
@@ -336,6 +337,19 @@ def ba_solve_impl(
     # Optimizable = live keyframes beyond the first n_fix.
     opt_mask = problem.kf_valid & (jnp.arange(K) >= params.n_fix)
 
+    def masked_mean_err(T_cr_e, Xr_e):
+        """Masked mean left-row reprojection error (px) at a given state."""
+        w_, r_, _, _ = build_observation_terms(
+            T_cr_e, Xr_e, problem.pts, mask, problem.pts_r, mask_r, fx, fy, cx, cy, T_rl, 1e9
+        )
+        rn_ = jnp.sqrt(jnp.sum(r_[..., :2] ** 2, axis=-1))
+        return _psum(jnp.sum(rn_ * mask)) / jnp.maximum(_psum(jnp.sum(mask)), 1)
+
+    # Pre-solve error: keyframe steps use it as an acceptance guard — a solve
+    # that ends WORSE than it started (poisoned window: dynamic-object
+    # landmarks, bad poses) must not be written back.
+    mean_err0 = masked_mean_err(T_cr, Xr)
+
     def iteration(state):
         it, T_cr, Xr, _ = state
         w, r, Q, Rj = build_observation_terms(
@@ -389,13 +403,11 @@ def ba_solve_impl(
     killed = lm_active & (dist > params.kill_dist)
 
     # Final masked mean reprojection error (left rows).
-    w, r, _, _ = build_observation_terms(
-        T_cr, Xr, problem.pts, mask, problem.pts_r, mask_r, fx, fy, cx, cy, T_rl, 1e9
-    )
-    rn = jnp.sqrt(jnp.sum(r[..., :2] ** 2, axis=-1))
+    mean_err = masked_mean_err(T_cr, Xr)
     msum = _psum(jnp.sum(mask))
-    mean_err = _psum(jnp.sum(rn * mask)) / jnp.maximum(msum, 1)
-    return BAResult(T_cw_new, Xw_new, killed, mean_err, msum + _psum(jnp.sum(mask_r)))
+    return BAResult(
+        T_cw_new, Xw_new, killed, mean_err, msum + _psum(jnp.sum(mask_r)), mean_err0
+    )
 
 
 ba_solve = partial(jax.jit, static_argnames=("params",))(ba_solve_impl)

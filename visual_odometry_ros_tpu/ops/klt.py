@@ -74,11 +74,15 @@ def _patch_offsets(radius: int, checkerboard: bool = False) -> jax.Array:
     return jnp.asarray(off)
 
 
-def _track_one_level(img0, gx0, gy0, img1, p0, p1_init, valid, offsets, iters, eps, min_eig):
+def _track_one_level(img0, gx0, gy0, img1, p0, p1_init, valid, offsets, iters, eps, min_eig,
+                     epi1d=False):
     """One pyramid level of batched IC-KLT.
 
     img0/gx0/gy0/img1: [H, W]; p0, p1_init: [N, 2]; offsets: [P, 2].
-    Returns (p1 [N, 2], valid [N], err [N]).
+    epi1d=True constrains the GN update to the x axis (rectified-stereo
+    epipolar search: dy is structurally zero, so solve the 1-D normal
+    equation du = b_x / g_xx — repeated texture can no longer drag the
+    match off-row). Returns (p1 [N, 2], valid [N], err [N]).
     """
     pts0 = p0[:, None, :] + offsets[None, :, :]  # [N, P, 2]
     T, m0 = bilinear_sample(img0, pts0)
@@ -91,11 +95,16 @@ def _track_one_level(img0, gx0, gy0, img1, p0, p1_init, valid, offsets, iters, e
     gyy = jnp.sum(gy * gy * w0, axis=1)
     npix = jnp.maximum(jnp.sum(w0, axis=1), 1.0)
 
-    # min eigenvalue of [[gxx, gxy], [gxy, gyy]] / npix
-    tr = gxx + gyy
-    dd = jnp.sqrt(jnp.maximum((gxx - gyy) ** 2 + 4.0 * gxy * gxy, 0.0))
-    lam_min = 0.5 * (tr - dd) / npix
-    eig_ok = lam_min > min_eig
+    if epi1d:
+        # 1-D conditioning: only the x-gradient energy matters.
+        eig_ok = gxx / npix > min_eig
+        inv_gxx = 1.0 / jnp.where(gxx < 1e-12, 1e-12, gxx)
+    else:
+        # min eigenvalue of [[gxx, gxy], [gxy, gyy]] / npix
+        tr = gxx + gyy
+        dd = jnp.sqrt(jnp.maximum((gxx - gyy) ** 2 + 4.0 * gxy * gxy, 0.0))
+        lam_min = 0.5 * (tr - dd) / npix
+        eig_ok = lam_min > min_eig
 
     det = gxx * gyy - gxy * gxy
     inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
@@ -110,8 +119,12 @@ def _track_one_level(img0, gx0, gy0, img1, p0, p1_init, valid, offsets, iters, e
         e = (T - I1p) * w
         bx = jnp.sum(gx * e, axis=1)
         by = jnp.sum(gy * e, axis=1)
-        du = (gyy * bx - gxy * by) * inv_det
-        dv = (gxx * by - gxy * bx) * inv_det
+        if epi1d:
+            du = bx * inv_gxx
+            dv = jnp.zeros_like(du)
+        else:
+            du = (gyy * bx - gxy * by) * inv_det
+            dv = (gxx * by - gxy * bx) * inv_det
         step = jnp.stack([du, dv], axis=-1)
         active = (live & ~conv)[:, None]
         p1 = p1 + jnp.where(active, step, 0.0)
@@ -127,7 +140,8 @@ def _track_one_level(img0, gx0, gy0, img1, p0, p1_init, valid, offsets, iters, e
     return p1, live, err
 
 
-def _pyr_track(pyr0, pyr1, p0, p1_init, valid, params: KLTParams, track_levels: int | None = None):
+def _pyr_track(pyr0, pyr1, p0, p1_init, valid, params: KLTParams, track_levels: int | None = None,
+               epi1d: bool = False):
     """Coarse-to-fine track: p0 (level 0 coords) -> p1 estimate.
 
     track_levels limits the climb to the finest `track_levels` levels —
@@ -154,7 +168,7 @@ def _pyr_track(pyr0, pyr1, p0, p1_init, valid, params: KLTParams, track_levels: 
             p1_new, ok_new, err_new, proc = track_level_fp(
                 img0, img1, p0 / s, p1, live,
                 radius=params.window_radius, iters=params.iters,
-                eps=params.eps, min_eig=params.min_eig,
+                eps=params.eps, min_eig=params.min_eig, epi1d=epi1d,
             )
             p1 = jnp.where(proc[:, None], p1_new, p1)
             if lvl == 0:
@@ -173,6 +187,7 @@ def _pyr_track(pyr0, pyr1, p0, p1_init, valid, params: KLTParams, track_levels: 
                 params.iters,
                 params.eps,
                 params.min_eig,
+                epi1d=epi1d,
             )
         if lvl > 0:
             p1 = p1 * 2.0
@@ -209,7 +224,7 @@ def track_with_prior(
     return track_with_prior_pyr(pyr0, pyr1, p0, p1_prior, valid, params)
 
 
-@partial(jax.jit, static_argnames=("params", "track_levels"))
+@partial(jax.jit, static_argnames=("params", "track_levels", "epi1d"))
 def track_with_prior_pyr(
     pyr0,
     pyr1,
@@ -218,11 +233,14 @@ def track_with_prior_pyr(
     valid: jax.Array,
     params: KLTParams = KLTParams(),
     track_levels: int | None = None,
+    epi1d: bool = False,
 ):
     """track_with_prior over prebuilt gradient pyramids (one pyramid build per
-    image per frame; the pipelines cache the previous frame's pyramid)."""
+    image per frame; the pipelines cache the previous frame's pyramid).
+    epi1d=True: rectified-stereo mode — the search is constrained to the
+    epipolar row (x only)."""
     shape = pyr1[0][0].shape
-    p1, live, err = _pyr_track(pyr0, pyr1, p0, p1_prior, valid, params, track_levels)
+    p1, live, err = _pyr_track(pyr0, pyr1, p0, p1_prior, valid, params, track_levels, epi1d=epi1d)
     ok = live & (err < params.max_err) & _in_border(p1, shape, params.border)
     return p1, ok
 
@@ -248,7 +266,7 @@ def track_bidirectional(
     return track_bidirectional_pyr(pyr0, pyr1, p0, p1_prior, valid, params, fb_scale)
 
 
-@partial(jax.jit, static_argnames=("params", "fb_scale", "back_levels"))
+@partial(jax.jit, static_argnames=("params", "fb_scale", "back_levels", "epi1d"))
 def track_bidirectional_pyr(
     pyr0,
     pyr1,
@@ -258,13 +276,15 @@ def track_bidirectional_pyr(
     params: KLTParams = KLTParams(),
     fb_scale: float = 1.0,
     back_levels: int | None = None,
+    epi1d: bool = False,
 ):
     """track_bidirectional over prebuilt gradient pyramids. back_levels
     restricts the backward consistency pass to the finest levels — it is
-    seeded at the true answer (p0), so coarse levels add cost, not accuracy."""
+    seeded at the true answer (p0), so coarse levels add cost, not accuracy.
+    epi1d=True constrains both passes to the epipolar row (rectified stereo)."""
     shape = pyr1[0][0].shape
-    p1, live1, err1 = _pyr_track(pyr0, pyr1, p0, p1_prior, valid, params)
-    p0b, live0, _ = _pyr_track(pyr1, pyr0, p1, p0, live1, params, back_levels)
+    p1, live1, err1 = _pyr_track(pyr0, pyr1, p0, p1_prior, valid, params, epi1d=epi1d)
+    p0b, live0, _ = _pyr_track(pyr1, pyr0, p1, p0, live1, params, back_levels, epi1d=epi1d)
     fb2 = jnp.sum((p0b - p0) ** 2, axis=-1)
     thr = (params.fb_thresh * fb_scale) ** 2
     ok = (

@@ -127,7 +127,8 @@ def _gather_banks(img0, img1, anchors0, anchors1, Hp, Wp, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: int):
+def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: int,
+                    epi1d: bool = False):
     G = _BLK // 4  # groups per block
     R = G * 32  # bank rows per block
 
@@ -235,13 +236,21 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: i
         gxy = treduce(gxm * gy)
         gyy = treduce(gym * gy)
         npix = jnp.maximum(treduce(mask), 1.0)
-        tr = gxx + gyy
-        dd = jnp.sqrt(jnp.maximum((gxx - gyy) ** 2 + 4.0 * gxy * gxy, 0.0))
-        lam_min = 0.5 * (tr - dd) / npix
-        eig_ok = lam_min > min_eig
+        if epi1d:
+            # Rectified-stereo mode: dy is structurally 0 — condition and
+            # solve on the x axis only (1-D GN; off-row texture can no
+            # longer drag the match).
+            eig_ok = gxx / npix > min_eig
+            inv_gxx = 1.0 / jnp.where(gxx < 1e-12, 1e-12, gxx)
+            inv_det = inv_gxx  # unused but keeps the shapes defined
+        else:
+            tr = gxx + gyy
+            dd = jnp.sqrt(jnp.maximum((gxx - gyy) ** 2 + 4.0 * gxy * gxy, 0.0))
+            lam_min = 0.5 * (tr - dd) / npix
+            eig_ok = lam_min > min_eig
 
-        det = gxx * gyy - gxy * gxy
-        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+            det = gxx * gyy - gxy * gxy
+            inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
 
         # Mostly-outside windows (valid fraction <= 1/2) are rejected like
         # OpenCV LK rejects border points; genuinely partial windows (frac
@@ -276,8 +285,12 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: i
             e = (T - I1p) * w
             bx = treduce(gx * e)
             by = treduce(gy * e)
-            du = (gyy * bx - gxy * by) * inv_det
-            dv = (gxx * by - gxy * bx) * inv_det
+            if epi1d:
+                du = bx * inv_gxx
+                dv = jnp.zeros_like(du)
+            else:
+                du = (gyy * bx - gxy * by) * inv_det
+                dv = (gxx * by - gxy * bx) * inv_det
             step = 1.0 - conv
             dx_n = jnp.clip(dx + du * step, 0.0, lim)
             dy_n = jnp.clip(dy + dv * step, 0.0, lim)
@@ -308,7 +321,7 @@ def _iterate_kernel(S: int, iters: int, eps: float, min_eig: float, H: int, W: i
 
 
 def _iterate_banks(bank0, bank1, ty, tx, dy0, dx0, act, y0, x0, ya1, xa1, sc,
-                   S, iters, eps, min_eig, H, W, interpret=False):
+                   S, iters, eps, min_eig, H, W, interpret=False, epi1d=False):
     """ty/tx/dy0/dx0/act/y0/x0/ya1/xa1/sc: [G_total, 128] lane-replicated
     fields (y0/x0 = template patch top-left in true image coords; ya1/xa1 =
     target bank origin in true image coords — the border-validity anchors;
@@ -330,7 +343,7 @@ def _iterate_banks(bank0, bank1, ty, tx, dy0, dx0, act, y0, x0, ya1, xa1, sc,
         out_specs=[pl.BlockSpec((4 * G, 128), lambda i: (i, 0))],
     )
     (out,) = pl.pallas_call(
-        _iterate_kernel(S, iters, eps, min_eig, H, W),
+        _iterate_kernel(S, iters, eps, min_eig, H, W, epi1d),
         out_shape=[jax.ShapeDtypeStruct((n_blocks * 4 * G, 128), jnp.float32)],
         grid_spec=grid_spec,
         interpret=interpret,
@@ -361,7 +374,7 @@ def _unstack_out(out, NF):
     return [_from_field(f, NF) for f in fields]
 
 
-@partial(jax.jit, static_argnames=("radius", "iters", "eps", "min_eig", "interpret"))
+@partial(jax.jit, static_argnames=("radius", "iters", "eps", "min_eig", "interpret", "epi1d"))
 def track_level_fp(
     img0: jax.Array,
     img1: jax.Array,
@@ -373,6 +386,7 @@ def track_level_fp(
     eps: float = 0.03,
     min_eig: float = 1e-4,
     interpret: bool = False,
+    epi1d: bool = False,
 ):
     """One pyramid level of batched IC-KLT, feature-parallel.
 
@@ -466,6 +480,7 @@ def track_level_fp(
         H,
         W,
         interpret,
+        epi1d,
     )
     dy, dx, err, okf = _unstack_out(out, NF)
 

@@ -209,3 +209,89 @@ def pose_only_gn_stereo(
         return r, J
 
     return _pose_gn_core(residual_fn, T_10_init, valid_l, params, n_rows=4)
+
+
+def _reproj_err_px(T, X0, pts1, fx, fy, cx, cy):
+    """Per-point left-view reprojection error (px) of pi(T X0) vs pts1."""
+    Xc = geo.transform_points(T, X0)
+    z = Xc[..., 2]
+    iz = 1.0 / jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = Xc[..., 0] * iz * fx + cx
+    v = Xc[..., 1] * iz * fy + cy
+    err = jnp.sqrt((u - pts1[..., 0]) ** 2 + (v - pts1[..., 1]) ** 2)
+    # Behind-camera points are outliers by definition.
+    return jnp.where(z > 0.01, err, 1e6)
+
+
+@partial(jax.jit, static_argnames=("params", "gate_scale"))
+def pose_only_gn_stereo_robust(
+    X0: jax.Array,
+    pts_l1: jax.Array,
+    pts_r1: jax.Array,
+    valid_l: jax.Array,
+    valid_r: jax.Array,
+    fx,
+    fy,
+    cx,
+    cy,
+    T_rl: jax.Array,
+    T_10_init: jax.Array,
+    params: PoseGNParams = PoseGNParams(),
+    gate_scale: float = 2.0,
+):
+    """Two-pass gated pose GN: solve, hard-gate at gate_scale x reproj_thresh
+    under the better of {pass-1 pose, prior}, re-solve on survivors.
+
+    Coherent outlier groups (dynamic objects: stereo-consistent landmarks
+    that move with an occluder, not the world) bias the single Huber solve
+    enough to fail the inlier-ratio check; the hard gate under the prior
+    strips them so the second solve converges on the static set. Returns
+    (PoseGNResult of the chosen pass, err_px [N] under the chosen pose) —
+    the error lets callers fail-soft gate survivors even when ok=False
+    (keeping ALL tracks on failure feeds dynamic outliers into the map).
+    """
+    res1 = pose_only_gn_stereo(
+        X0, pts_l1, pts_r1, valid_l, valid_r, fx, fy, cx, cy, T_rl, T_10_init, params
+    )
+    T1 = jnp.where(res1.ok, res1.T10, T_10_init)
+    err1 = _reproj_err_px(T1, X0, pts_l1, fx, fy, cx, cy)
+    keep = valid_l & (err1 < gate_scale * params.reproj_thresh)
+    res2 = pose_only_gn_stereo(
+        X0, pts_l1, pts_r1, keep, valid_r & keep, fx, fy, cx, cy, T_rl, T1, params
+    )
+    use2 = res2.ok & (~res1.ok | (res2.mean_err <= res1.mean_err))
+    T = jnp.where(use2, res2.T10, jnp.where(res1.ok, res1.T10, T_10_init))
+    err = _reproj_err_px(T, X0, pts_l1, fx, fy, cx, cy)
+    inliers = valid_l & (err < params.reproj_thresh)
+    ok = res1.ok | res2.ok
+    mean_err = jnp.where(use2, res2.mean_err, res1.mean_err)
+    n_iter = res1.n_iter + res2.n_iter
+    return PoseGNResult(T, inliers, mean_err, ok, n_iter), err
+
+
+@partial(jax.jit, static_argnames=("params", "gate_scale"))
+def pose_only_gn_mono_robust(
+    X0: jax.Array,
+    pts1: jax.Array,
+    valid: jax.Array,
+    fx,
+    fy,
+    cx,
+    cy,
+    T_10_init: jax.Array,
+    params: PoseGNParams = PoseGNParams(),
+    gate_scale: float = 2.0,
+):
+    """Mono twin of pose_only_gn_stereo_robust."""
+    res1 = pose_only_gn_mono(X0, pts1, valid, fx, fy, cx, cy, T_10_init, params)
+    T1 = jnp.where(res1.ok, res1.T10, T_10_init)
+    err1 = _reproj_err_px(T1, X0, pts1, fx, fy, cx, cy)
+    keep = valid & (err1 < gate_scale * params.reproj_thresh)
+    res2 = pose_only_gn_mono(X0, pts1, keep, fx, fy, cx, cy, T1, params)
+    use2 = res2.ok & (~res1.ok | (res2.mean_err <= res1.mean_err))
+    T = jnp.where(use2, res2.T10, jnp.where(res1.ok, res1.T10, T_10_init))
+    err = _reproj_err_px(T, X0, pts1, fx, fy, cx, cy)
+    inliers = valid & (err < params.reproj_thresh)
+    ok = res1.ok | res2.ok
+    mean_err = jnp.where(use2, res2.mean_err, res1.mean_err)
+    return PoseGNResult(T, inliers, mean_err, ok, res1.n_iter + res2.n_iter), err

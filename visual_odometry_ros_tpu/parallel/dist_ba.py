@@ -42,6 +42,7 @@ def _sharded_specs():
         killed=P(LM_AXIS),
         mean_err_px=P(),
         n_obs=P(),
+        mean_err0_px=P(),
     )
     return prob_spec, (P(), P(), P(), P(), P()), out_spec
 

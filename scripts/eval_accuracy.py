@@ -84,23 +84,37 @@ def build_mono(use_pallas):
     return MonoVO(cfg)
 
 
+CHUNK = 25  # frames per device-resident scan batch
+
+
 def run_stereo(frames, use_pallas):
+    """Chunked batch-scan stereo run (r2 weak #4: the per-frame path paid a
+    jit dispatch per frame — 194 s for 200 frames; the scan path is one
+    device call per CHUNK frames)."""
     vo = build_stereo(use_pallas)
+    il = np.stack([l for l, _ in frames])
+    ir = np.stack([r for _, r in frames])
     t0 = time.perf_counter()
-    for il, ir in frames:
-        vo.track_stereo_images(il, ir)
+    for s in range(0, len(frames), CHUNK):
+        vo.track_stereo_batch(il[s : s + CHUNK], ir[s : s + CHUNK])
     wall = time.perf_counter() - t0
-    return np.stack(vo.trajectory), wall
+    return np.stack(vo.trajectory), wall, vo.stats_log
 
 
 def run_mono(imgs, use_pallas):
+    """Per-frame until bootstrapped (phase 2), then chunked batch scan."""
     vo = build_mono(use_pallas)
     t0 = time.perf_counter()
     first_steady = None
-    for i, im in enumerate(imgs):
-        _, stats = vo.track_image(im)
+    i = 0
+    while i < len(imgs) and vo.phase != 2:
+        _, stats = vo.track_image(imgs[i])
         if first_steady is None and stats.get("phase") in ("bootstrapped", "steady"):
             first_steady = i
+        i += 1
+    while i < len(imgs):
+        vo.track_batch(np.stack(imgs[i : i + CHUNK]))
+        i += CHUNK
     wall = time.perf_counter() - t0
     return np.stack(vo.trajectory), wall, first_steady or 0
 
@@ -132,12 +146,16 @@ def main(argv=None):
         np.sum(np.linalg.norm(np.diff(poses_gt[:, :3, 3], axis=0), axis=-1))
     )
 
-    world = HardSequence(z0_a=10.0, z0_b=20.0, baseline=0.5)
+    # Corridor sized around the trajectory: the world is valid for every pose
+    # (render raises ChiralityError otherwise — VERDICT r2 missing #1a).
+    world = HardSequence(poses_T_wc=poses_gt, baseline=0.5)
     print(f"[{plat}] rendering {args.frames} adversarial stereo frames ...", flush=True)
     frames = [world.stereo_pair(T.astype(np.float64), frame=i) for i, T in enumerate(poses_gt)]
 
     print(f"[{plat}] stereo run (use_pallas={use_pallas}) ...", flush=True)
-    traj_s, wall_s = run_stereo(frames, use_pallas)
+    traj_s, wall_s, slog = run_stereo(frames, use_pallas)
+    n_fail = sum(1 for s in slog if s.get("pose_ok") is False)
+    n_rec = sum(1 for s in slog if s.get("recovered", 0) > 0)
     ate_s = float(ate_rmse(traj_s, poses_gt, align="none"))
     t_rmse_s, r_rmse_s = rpe(traj_s, poses_gt)
 
@@ -157,6 +175,8 @@ def main(argv=None):
             "ate_pct_of_dist": round(100.0 * ate_s / dist, 3),
             "rpe_trans_m": round(float(t_rmse_s), 4),
             "rpe_rot_deg": round(float(r_rmse_s), 4),
+            "n_pose_fail": n_fail,
+            "n_recoveries": n_rec,
             "wall_s": round(wall_s, 1),
         },
         "mono": {
@@ -165,7 +185,18 @@ def main(argv=None):
             "wall_s": round(wall_m, 1),
         },
     }
-    print(json.dumps(rec, indent=1))
+
+    def _de_nan(obj):
+        """NaN/Inf -> None so failed metrics are explicit nulls, never NaN
+        literals that break strict JSON (r2 ADVICE high)."""
+        if isinstance(obj, dict):
+            return {k: _de_nan(v) for k, v in obj.items()}
+        if isinstance(obj, float) and not np.isfinite(obj):
+            return None
+        return obj
+
+    rec = _de_nan(rec)
+    print(json.dumps(rec, indent=1, allow_nan=False))
 
     records = {}
     if os.path.exists(JSON_PATH):
@@ -173,7 +204,7 @@ def main(argv=None):
             records = json.load(f)
     records[plat] = rec
     with open(JSON_PATH, "w") as f:
-        json.dump(records, f, indent=1)
+        json.dump(records, f, indent=1, allow_nan=False)
     render_md()
 
 
@@ -211,13 +242,17 @@ def render_md():
     if {"cpu"} < set(records) or len(records) >= 2:
         plats = [p for p in records if p != "cpu"]
         if "cpu" in records and plats:
-            t = records[plats[0]]
-            c = records["cpu"]
-            ok = t["stereo"]["ate_rmse_m"] <= c["stereo"]["ate_rmse_m"] * 1.2 + 0.01
+            t = records[plats[0]]["stereo"]["ate_rmse_m"]
+            c = records["cpu"]["stereo"]["ate_rmse_m"]
+            if t is None or c is None:
+                verdict = "FAIL (a leg diverged: ATE is null)"
+            elif t <= c * 1.2 + 0.01:
+                verdict = "PASS (<= CPU x1.2 + 1cm)"
+            else:
+                verdict = "FAIL"
             lines += [
                 "",
-                f"**TPU-vs-CPU ATE check:** stereo TPU {t['stereo']['ate_rmse_m']} m vs CPU "
-                f"{c['stereo']['ate_rmse_m']} m -> {'PASS (<= CPU x1.2 + 1cm)' if ok else 'FAIL'}",
+                f"**TPU-vs-CPU ATE check:** stereo TPU {t} m vs CPU {c} m -> {verdict}",
             ]
     lines.append("")
     with open(MD_PATH, "w") as f:

@@ -12,6 +12,234 @@ from __future__ import annotations
 import numpy as np
 
 
+class ChiralityError(ValueError):
+    """Raised when a synthetic render would show behind-camera geometry.
+
+    Round-2 post-mortem (VERDICT r2 missing #1a): the accuracy harness drove
+    the camera *through* its scene planes and the renderer kept producing
+    geometrically-invalid images without complaint, so the pipeline was
+    silently evaluated on garbage. Every renderer now fails loudly instead.
+    """
+
+
+def _smooth_texture(rng, tex_size, smooth):
+    tex = rng.uniform(30.0, 220.0, (tex_size, tex_size)).astype(np.float32)
+    k = np.ones(3, np.float32) / 3
+    for _ in range(smooth):
+        tex = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, tex)
+        tex = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, tex)
+    return tex
+
+
+def _sample_tex_wrap(tex, s, t, tex_scale):
+    """Bilinear sample of a wrapping texture at plane coords (s, t)."""
+    n = tex.shape[0]
+    ts = (s * tex_scale) % (n - 1)
+    tt = (t * tex_scale) % (n - 1)
+    i0 = np.clip(np.floor(ts).astype(int), 0, n - 2)
+    j0 = np.clip(np.floor(tt).astype(int), 0, n - 2)
+    fi = (ts - i0).astype(np.float32)
+    fj = (tt - j0).astype(np.float32)
+    return (
+        tex[j0, i0] * (1 - fi) * (1 - fj)
+        + tex[j0, i0 + 1] * fi * (1 - fj)
+        + tex[j0 + 1, i0] * (1 - fi) * fj
+        + tex[j0 + 1, i0 + 1] * fi * fj
+    ).astype(np.float32)
+
+
+class _MipTex:
+    """Mipmapped wrapping texture with trilinear minification filtering.
+
+    Point-sampled textures alias badly under minification (far geometry,
+    grazing incidence): the per-pixel value decorrelates between frames,
+    breaking brightness constancy for reasons that have nothing to do with
+    the scene. Measured on the r2 accuracy world: the un-mipped renderer
+    alone caused 13/30 pose failures with all adversities OFF; mip filtering
+    removes them entirely. Every plane renderer samples through this.
+    """
+
+    def __init__(self, tex: np.ndarray):
+        self.levels = [tex.astype(np.float32)]
+        t = self.levels[0]
+        while t.shape[0] >= 16:
+            t = 0.25 * (t[0::2, 0::2] + t[1::2, 0::2] + t[0::2, 1::2] + t[1::2, 1::2])
+            self.levels.append(t)
+
+    def sample(self, s, t, tex_scale):
+        ts = s * tex_scale
+        tt = t * tex_scale
+        # Texel footprint of one output pixel (forward-difference Jacobian).
+        du = np.abs(np.gradient(ts, axis=-1)) + np.abs(np.gradient(ts, axis=-2))
+        dv = np.abs(np.gradient(tt, axis=-1)) + np.abs(np.gradient(tt, axis=-2))
+        foot = np.maximum(np.maximum(du, dv), 1e-6)
+        L = len(self.levels)
+        lvl = np.clip(np.log2(foot), 0.0, L - 1.0)
+        l0 = np.floor(lvl).astype(int)
+        frac = (lvl - l0).astype(np.float32)
+        l1 = np.minimum(l0 + 1, L - 1)
+        out = np.zeros(s.shape, np.float32)
+        for k in range(L):
+            m0 = l0 == k
+            m1 = l1 == k
+            if m0.any():
+                out[m0] += (1.0 - frac[m0]) * _sample_tex_wrap(
+                    self.levels[k], s[m0], t[m0], tex_scale / (1 << k)
+                )
+            if m1.any():
+                out[m1] += frac[m1] * _sample_tex_wrap(
+                    self.levels[k], s[m1], t[m1], tex_scale / (1 << k)
+                )
+        return out
+
+
+class Plane:
+    """One textured plane X(s, t) = origin + e1*s + e2*t (world coords)."""
+
+    def __init__(self, origin, e1, e2, seed=3, tex_size=512, tex_scale=60.0, smooth=2):
+        self.origin = np.asarray(origin, np.float64)
+        self.e1 = np.asarray(e1, np.float64)
+        self.e2 = np.asarray(e2, np.float64)
+        # Columns map [s, t, 1] -> world point.
+        self.A = np.stack([self.e1, self.e2, self.origin], axis=1)
+        self.tex = _MipTex(_smooth_texture(np.random.default_rng(seed), tex_size, smooth))
+        self.tex_scale = tex_scale
+
+    def intersect(self, K, T_cw, uu, vv):
+        """Per-pixel ray/plane intersection.
+
+        Returns (img values, depth) where depth is the camera-frame z of the
+        intersection (negative = behind the camera; the caller z-buffers).
+        """
+        R = T_cw[:3, :3].astype(np.float64)
+        t = T_cw[:3, 3].astype(np.float64)
+        P = K @ (R @ self.A + t[:, None] @ np.array([[0.0, 0.0, 1.0]]))
+        ph = np.stack([uu, vv, np.ones_like(uu)], axis=-1) @ np.linalg.inv(P).T
+        w = ph[..., 2]
+        w_safe = np.where(np.abs(w) < 1e-12, 1e-12, w)
+        s = ph[..., 0] / w_safe
+        tt = ph[..., 1] / w_safe
+        Xw = self.origin + s[..., None] * self.e1 + tt[..., None] * self.e2
+        depth = Xw @ R[2] + t[2]
+        img = self.tex.sample(s, tt, self.tex_scale)
+        return img, depth
+
+
+class CorridorSequence:
+    """Box-corridor world: four walls + end cap, z-buffer composited.
+
+    The round-2 accuracy harness failed because its single-plane world sat a
+    fixed distance ahead and the 40 m trajectory drove through it (VERDICT r2
+    missing #1a). A corridor encloses the whole trajectory: side walls and
+    floor/ceiling give near-field structure at the image edges, the end wall
+    far-field structure at the center — the depth profile of a real driving
+    corridor (the reference's KITTI validation scenes). Rays that escape the
+    box (camera outside, or past the end wall) raise ChiralityError instead
+    of rendering garbage.
+
+    Geometry is in the first camera's frame (x right, y down, z forward):
+    walls at x = ±half_width, floor at y = +floor_y, ceiling at y = -ceil_y,
+    end cap at z = length.
+    """
+
+    def __init__(
+        self,
+        width=640,
+        height=480,
+        fx=500.0,
+        fy=500.0,
+        cx=320.0,
+        cy=240.0,
+        baseline=0.5,
+        half_width=4.0,
+        floor_y=1.6,
+        ceil_y=2.6,
+        length=90.0,
+        tex_size=1024,
+        tex_scale=25.0,
+        wall_tex_size=None,
+        wall_tex_scale=None,
+        smooth=2,
+    ):
+        self.width, self.height = width, height
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.baseline = baseline
+        self.K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+        self.T_lr = np.eye(4, dtype=np.float32)
+        self.T_lr[0, 3] = baseline
+        # Side walls may carry a different (e.g. small, repeating) texture
+        # than the floor/ceiling/end cap — building facades repeat, roads
+        # don't; a phase-perfect wallpaper over the WHOLE far field would be
+        # an aliasing trap no real scene exhibits.
+        kw = dict(tex_size=tex_size, tex_scale=tex_scale, smooth=smooth)
+        wkw = dict(
+            tex_size=wall_tex_size or tex_size,
+            tex_scale=wall_tex_scale or tex_scale,
+            smooth=smooth,
+        )
+        self.planes = [
+            Plane([-half_width, 0, 0], [0, 0, 1], [0, 1, 0], seed=3, **wkw),  # left wall
+            Plane([half_width, 0, 0], [0, 0, 1], [0, 1, 0], seed=11, **wkw),  # right wall
+            Plane([0, floor_y, 0], [1, 0, 0], [0, 0, 1], seed=7, **kw),  # floor
+            Plane([0, -ceil_y, 0], [1, 0, 0], [0, 0, 1], seed=19, **kw),  # ceiling
+            Plane([0, 0, length], [1, 0, 0], [0, 1, 0], seed=23, **kw),  # end cap
+        ]
+        self.extent = dict(half_width=half_width, floor_y=floor_y, ceil_y=ceil_y, length=length)
+        self._grid = np.meshgrid(
+            np.arange(width, dtype=np.float64), np.arange(height, dtype=np.float64)
+        )
+
+    @classmethod
+    def fit(cls, poses_T_wc, margin_side=3.5, margin_floor=1.6, margin_ceil=2.6, margin_end=25.0, **kw):
+        """Size a corridor around a trajectory so no pose exits the box."""
+        p = np.asarray(poses_T_wc)[:, :3, 3]
+        return cls(
+            half_width=float(np.max(np.abs(p[:, 0]))) + margin_side,
+            floor_y=float(np.max(p[:, 1])) + margin_floor,
+            ceil_y=float(-np.min(p[:, 1])) + margin_ceil,
+            length=float(np.max(p[:, 2])) + margin_end,
+            **kw,
+        )
+
+    def _raster(self, T_cw, pix=None):
+        if pix is not None:
+            uu, vv = pix[..., 0].astype(np.float64), pix[..., 1].astype(np.float64)
+        else:
+            uu, vv = self._grid
+        imgs, depths = [], []
+        for pl in self.planes:
+            img, depth = pl.intersect(self.K, T_cw, uu, vv)
+            imgs.append(img)
+            depths.append(depth)
+        depths = np.stack(depths)  # [P, H, W]
+        imgs = np.stack(imgs)
+        valid = depths > 0.05
+        z = np.where(valid, depths, np.inf)
+        sel = np.argmin(z, axis=0)  # nearest plane in front
+        covered = np.any(valid, axis=0)
+        if not covered.all():
+            n_bad = int((~covered).sum())
+            raise ChiralityError(
+                f"{n_bad} pixels see no in-front geometry — camera left the corridor "
+                f"(extent {self.extent}); the harness world is invalid for this pose"
+            )
+        take = np.take_along_axis
+        img = take(imgs, sel[None], axis=0)[0]
+        dep = take(depths, sel[None], axis=0)[0]
+        return img.astype(np.float32), dep.astype(np.float32)
+
+    def render(self, T_cw: np.ndarray, pix: np.ndarray | None = None) -> np.ndarray:
+        return self._raster(T_cw, pix)[0]
+
+    def depth(self, T_cw: np.ndarray) -> np.ndarray:
+        return self._raster(T_cw)[1]
+
+    def stereo_pair(self, T_wc: np.ndarray):
+        T_cw_l = np.linalg.inv(T_wc)
+        T_cw_r = np.linalg.inv(T_wc @ self.T_lr.astype(np.float64))
+        return self.render(T_cw_l), self.render(T_cw_r)
+
+
 class PlaneSequence:
     """Textured slanted-plane world rendered for a moving stereo rig.
 
@@ -39,13 +267,7 @@ class PlaneSequence:
         self.width, self.height = width, height
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.baseline = baseline
-        rng = np.random.default_rng(seed)
-        tex = rng.uniform(30.0, 220.0, (tex_size, tex_size)).astype(np.float32)
-        k = np.ones(3, np.float32) / 3
-        for _ in range(smooth):
-            tex = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, tex)
-            tex = np.apply_along_axis(lambda c: np.convolve(c, k, "same"), 0, tex)
-        self.tex = tex
+        self.tex = _MipTex(_smooth_texture(np.random.default_rng(seed), tex_size, smooth))
         self.tex_size = tex_size
         self.tex_scale = tex_scale
         # Plane: X(s, t) = [s, t, z0 + sx*s + sy*t]
@@ -65,13 +287,23 @@ class PlaneSequence:
         P = self.K @ (R @ A + t[:, None] @ np.array([[0.0, 0.0, 1.0]]))
         return P
 
-    def render(self, T_cw: np.ndarray, pix: np.ndarray | None = None) -> np.ndarray:
+    def render(
+        self,
+        T_cw: np.ndarray,
+        pix: np.ndarray | None = None,
+        check_mask: np.ndarray | None = None,
+    ) -> np.ndarray:
         """Render the plane seen from camera pose T_cw (world->cam).
 
         pix: optional [H, W, 2] ideal-pinhole pixel coords to evaluate instead
         of the regular grid — lets wrappers render through distorted lenses by
         passing the undistorted location of each output pixel (the plane
         texture is continuous, so off-frame ideal coords are fine).
+        check_mask: optional bool [H, W] restricting the chirality guard to
+        the pixels a compositing wrapper will actually use.
+
+        Raises ChiralityError if any (checked) pixel's plane intersection
+        lies behind the camera — see ChiralityError for why this is loud.
         """
         H = self._homography_cam_from_plane(T_cw)
         Hinv = np.linalg.inv(H)
@@ -84,21 +316,19 @@ class PlaneSequence:
         ph = np.stack([uu, vv, np.ones_like(uu)], axis=-1) @ Hinv.T
         s = ph[..., 0] / ph[..., 2]
         t = ph[..., 1] / ph[..., 2]
-        # plane coords -> texture pixels (wrap)
-        ts = (s * self.tex_scale) % (self.tex_size - 1)
-        tt = (t * self.tex_scale) % (self.tex_size - 1)
-        i0 = np.clip(np.floor(ts).astype(int), 0, self.tex_size - 2)
-        j0 = np.clip(np.floor(tt).astype(int), 0, self.tex_size - 2)
-        fi = (ts - i0).astype(np.float32)
-        fj = (tt - j0).astype(np.float32)
-        tex = self.tex
-        img = (
-            tex[j0, i0] * (1 - fi) * (1 - fj)
-            + tex[j0, i0 + 1] * fi * (1 - fj)
-            + tex[j0 + 1, i0] * (1 - fi) * fj
-            + tex[j0 + 1, i0 + 1] * fi * fj
-        )
-        return img.astype(np.float32)
+        # Chirality guard: camera-frame depth of every rendered plane point.
+        Xw = np.stack([s, t, self.z0 + self.sx * s + self.sy * t], axis=-1)
+        depth = Xw @ T_cw[:3, 2].astype(np.float64) + float(T_cw[2, 3])
+        bad = depth <= 0.05
+        if check_mask is not None:
+            bad = bad & check_mask
+        if bad.any():
+            raise ChiralityError(
+                f"{int(bad.sum())} pixels intersect the plane behind the camera "
+                f"(z0={self.z0}); the pose has left the valid viewing volume"
+            )
+        # Plane coords -> texture, through the minification-filtered sampler.
+        return self.tex.sample(s, t, self.tex_scale)
 
     def depth(self, T_cw: np.ndarray) -> np.ndarray:
         """Exact depth map for pose T_cw (for oracle checks)."""
@@ -146,8 +376,10 @@ class TwoPlaneSequence:
         self.T_lr = self.a.T_lr
 
     def render(self, T_cw: np.ndarray) -> np.ndarray:
-        ia = self.a.render(T_cw)
-        ib = self.b.render(T_cw)
+        half = np.zeros((self.height, self.width), bool)
+        half[:, : self.width // 2] = True
+        ia = self.a.render(T_cw, check_mask=half)
+        ib = self.b.render(T_cw, check_mask=~half)
         out = ia.copy()
         out[:, self.width // 2 :] = ib[:, self.width // 2 :]
         return out
@@ -204,22 +436,31 @@ class DistortedStereoSequence:
 
 class HardSequence:
     """Adversarial wrapper for the accuracy procedure (BASELINE.md): exposure
-    drift, a moving occluder with independent motion, and repeated texture.
+    drift, a moving occluder with independent motion, and repeated texture,
+    over a corridor world that stays valid for the whole trajectory.
 
+    - World: CorridorSequence (fit around the trajectory via `fit_trajectory`
+      or sized by `length`) — near-field walls, far-field end cap, and a
+      loud ChiralityError if the camera ever exits the box (VERDICT r2 #1a).
     - Exposure: per-frame gain/bias drift (sinusoidal, +-15% gain, +-8 bias) —
       breaks brightness constancy the way auto-exposure does on KITTI.
     - Occluder: a textured rectangle sweeping across the view with its own
       motion; tracks crossing it must be killed by the error/consistency
       gates, not dragged.
-    - Repeated texture: small texture tile (tex_size 256) wraps many times
-      across the plane, creating self-similar structure that invites KLT
-      mismatches and RANSAC confusion.
+    - Repeated texture: a small tile (256 px = 2.8 m) wraps many times along
+      the SIDE walls (a repeating facade), creating self-similar structure
+      that invites KLT mismatches and RANSAC confusion; floor/ceiling/end
+      cap carry non-repeating texture (roads and horizons don't tile).
     """
 
-    def __init__(self, width=640, height=480, occluder=True, exposure=True, **kw):
-        kw.setdefault("tex_size", 256)
-        kw.setdefault("tex_scale", 90.0)
-        self.base = TwoPlaneSequence(width=width, height=height, **kw)
+    def __init__(self, width=640, height=480, occluder=True, exposure=True,
+                 poses_T_wc=None, **kw):
+        kw.setdefault("wall_tex_size", 256)
+        kw.setdefault("wall_tex_scale", 90.0)
+        if poses_T_wc is not None:
+            self.base = CorridorSequence.fit(poses_T_wc, width=width, height=height, **kw)
+        else:
+            self.base = CorridorSequence(width=width, height=height, **kw)
         self.width, self.height = width, height
         self.T_lr = self.base.T_lr
         self.occluder = occluder
@@ -260,7 +501,7 @@ class HardSequence:
             self.frame_idx += 1
         il, ir = self.base.stereo_pair(T_wc)
         # Occluder sits ~6 m away -> disparity fx*b/6 px in the right image.
-        disp = self.base.a.fx * self.base.a.baseline / 6.0
+        disp = self.base.fx * self.base.baseline / 6.0
         return self._post(il, frame, 0.0), self._post(ir, frame, -disp)
 
     def render(self, T_cw: np.ndarray, frame: int | None = None):
@@ -280,6 +521,9 @@ def varied_trajectory(n_frames: int, step=0.3, seed=5):
     poses = []
     T = np.eye(4, dtype=np.float32)
     for i in range(n_frames):
+        # Frame 0 is the identity (VO starts there; unaligned ATE would
+        # otherwise carry a constant first-step offset).
+        poses.append(T.copy())
         speed = step * (0.6 + 0.4 * np.sin(i * 0.05))
         yaw = 0.004 * np.sin(i * 0.02)
         pitch = 0.0008 * np.sin(i * 0.043)
@@ -287,7 +531,6 @@ def varied_trajectory(n_frames: int, step=0.3, seed=5):
         xi = np.array([0.0, 0.0, speed, pitch, yaw, roll], np.float32)
         dT = np.asarray(geo.se3_exp(jnp.asarray(xi)))
         T = T @ dT
-        poses.append(T.copy())
     return np.stack(poses)
 
 

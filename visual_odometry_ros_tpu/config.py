@@ -73,7 +73,22 @@ class MotionEstimatorConfig:
     thres_poseba_error: float = 3.0  # px, pose-only BA inlier gate
     pose_ba_iters: int = 50
     huber_delta: float = 0.5
-    min_inlier_ratio: float = 0.5
+    # Pose acceptance: absolute inlier floor (reference mono_vo.cpp:864-866
+    # requires >=10 points) + a low ratio floor; the reference itself fails
+    # pose-only BA only on NaN (motion_estimator.cpp:857,1084).
+    min_inlier_ratio: float = 0.25
+    min_inliers: int = 10
+    # Motion-sanity gate vs the constant-velocity prior: reject a solved
+    # step beyond max(mult x previous step, absolute floor) in translation
+    # or rotation. Protects against wrong-but-self-consistent solves from a
+    # poisoned map (r2 death-spiral defect #1).
+    sanity_step_mult: float = 4.0
+    max_step_abs: float = 3.0  # meters/frame
+    max_rot_abs_deg: float = 10.0  # degrees/frame
+    # Tracking-loss recovery: after this many consecutive failed poses, try
+    # PnP relocalization against surviving landmarks, else re-bootstrap the
+    # track/landmark set at the prior-propagated pose.
+    recover_after: int = 3
     lba_iters: int = 10  # local BA LM iterations (reference hardcodes 10)
     lba_huber: float = 1.0
 

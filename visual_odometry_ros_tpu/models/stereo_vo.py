@@ -52,6 +52,7 @@ class StereoVOState(NamedTuple):
     ring: A.KeyframeRing
     pyr_prev: tuple  # previous left gradient pyramid ((img, gx, gy), ...)
     frame_id: jax.Array  # int32
+    fail_count: jax.Array  # int32 — consecutive frames with failed pose
 
 
 class FrameStats(NamedTuple):
@@ -68,6 +69,8 @@ class FrameStats(NamedTuple):
     avg_parallax: jax.Array  # rad, mean over tracked landmarks (msg avg_parallax)
     avg_age: jax.Array  # frames, mean over tracked landmarks (msg avg_age)
     n_ok_parallax: jax.Array  # landmarks past the parallax threshold (msg n_ok_parallax)
+    fail_count: jax.Array  # consecutive failed-pose frames after this one
+    recovered: jax.Array  # 0 = none, 1 = PnP relocalization, 2 = re-bootstrap
 
 
 class StereoVO:
@@ -112,6 +115,7 @@ class StereoVO:
             huber_delta=cfg.motion.huber_delta,
             reproj_thresh=cfg.motion.thres_poseba_error,
             min_inlier_ratio=cfg.motion.min_inlier_ratio,
+            min_inliers=cfg.motion.min_inliers,
         )
         self.ba_params = BA.BAParams(
             iters=cfg.motion.lba_iters,
@@ -144,6 +148,7 @@ class StereoVO:
             ring=A.make_ring(self.K, self.N),
             pyr_prev=pyr,
             frame_id=jnp.asarray(0, jnp.int32),
+            fail_count=jnp.asarray(0, jnp.int32),
         )
 
     def _build_pyr(self, img):
@@ -194,9 +199,14 @@ class StereoVO:
         y = (pts_l[:, 1] - self.cy) / self.fy * z
         return jnp.stack([x, y, z], axis=-1), ok
 
-    def _replenish(self, pyr_l, pyr_r, tracks, arena, T_wc):
+    def _replenish(self, pyr_l, pyr_r, tracks, arena, T_wc, allow=True):
         """Detect new features in empty bins, stereo-match, triangulate,
-        allocate arena slots, and merge into free track lanes."""
+        allocate arena slots, and merge into free track lanes.
+
+        allow: scalar bool — when False (failed pose this frame) no landmark
+        is born: triangulating under a garbage pose feeds the death spiral
+        (r2 weak #1); replenishment resumes once the pose is trusted again.
+        """
         cfg = self.cfg
         n_new_cap = self.N // 2
         new_pts, new_ok = F.detect_features(
@@ -209,6 +219,7 @@ class StereoVO:
             fast_thresh=cfg.extractor.thres_fastscore,
             score_min=cfg.extractor.score_min,
         )
+        new_ok = new_ok & allow
         pts_r, ok_r, disp = self._stereo_match(pyr_l, pyr_r, new_pts, new_ok)
         Xc, ok3 = self._triangulate_stereo(new_pts, disp, new_ok & ok_r)
         Xw = geo.transform_points(T_wc, Xc)
@@ -345,21 +356,39 @@ class StereoVO:
             T10_init,
             self.pose_params,
         )
+        # Motion-sanity gate vs the constant-velocity prior: a solved step
+        # wildly beyond the previous one is a wrong-but-self-consistent fit
+        # to a poisoned map, not real motion (r2 death-spiral defect). The
+        # prior itself passed this gate when it was solved.
+        m = self.cfg.motion
+        dT_cand = geo.se3_inverse(res.T10)
+        step_prev = jnp.linalg.norm(state.dT[:3, 3])
+        step_new = jnp.linalg.norm(dT_cand[:3, 3])
+        cos_p = jnp.clip((jnp.trace(state.dT[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+        cos_n = jnp.clip((jnp.trace(dT_cand[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+        rot_prev = jnp.degrees(jnp.arccos(cos_p))
+        rot_new = jnp.degrees(jnp.arccos(cos_n))
+        sane = (step_new <= jnp.maximum(m.sanity_step_mult * step_prev, m.max_step_abs)) & (
+            rot_new <= jnp.maximum(m.sanity_step_mult * rot_prev, m.max_rot_abs_deg)
+        )
+        pose_ok = res.ok & sane
+
         # Fail-soft: keep the constant-velocity prior when GN rejects
         # (the reference throws here; a running system can't).
-        T10 = jnp.where(res.ok, res.T10, T10_init)
+        T10 = jnp.where(pose_ok, res.T10, T10_init)
         dT_new = geo.se3_inverse(T10)
         T_wc_new = state.T_wc @ dT_new
 
-        # [7] outlier gate: pose-GN reprojection inliers. On GN failure the
-        # gate still applies under the prior pose at 2x threshold — keeping
-        # ALL tracks would feed the very outliers that broke the solve into
-        # the arena, re-triangulation, and BA (death-spiral on dynamic
-        # scenes).
-        loose = gn_valid & (err_px < 2.0 * self.pose_params.reproj_thresh)
-        inliers = jnp.where(res.ok, res.inliers, loose)
+        # [7] outlier gate: pose-GN reprojection inliers when the pose is
+        # trusted. On failure, KEEP every KLT-consistent track: the prior
+        # drifts during a blackout, so gating by reprojection under it mass-
+        # kills exactly the correspondences PnP relocalization needs (r2
+        # recovery never re-converged for this reason). Map poisoning is
+        # prevented upstream — landmark births, re-triangulation, and
+        # keyframes are all gated on pose_ok.
+        inliers = jnp.where(pose_ok, res.inliers, True)
         survived = ok_track & jnp.where(has_3d, inliers, True)
-        return T10, dT_new, T_wc_new, survived, res.ok, res.mean_err
+        return T10, dT_new, T_wc_new, survived, pose_ok, res.mean_err
 
     def _update_stage_impl(
         self, state: StereoVOState, pyr_l, pyr_r, pts1, pts_r1, ok_track, ok_stereo,
@@ -398,9 +427,10 @@ class StereoVO:
 
         tracks = tracks._replace(pts=pts1, valid=survived, scale=scale_prior)
 
-        # [10] replenishment.
+        # [10] replenishment — gated on a trusted pose: no landmark births
+        # under a failed solve (r2 death-spiral defect).
         tracks, arena, pts_r_new, pts_r_valid_new, n_new = self._replenish(
-            pyr_l, pyr_r, tracks, arena, T_wc_new
+            pyr_l, pyr_r, tracks, arena, T_wc_new, allow=pose_ok
         )
         # Right observations: tracked lanes from stereo match, new lanes fresh.
         tracks_r = jnp.where(pts_r_valid_new[:, None], pts_r_new, pts_r1)
@@ -421,11 +451,16 @@ class StereoVO:
         trans = jnp.linalg.norm(dT_kf[:3, 3])
         cos_r = jnp.clip((jnp.trace(dT_kf[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
         rot_deg = jnp.degrees(jnp.arccos(cos_r))
+        # Keyframe insertion requires a trusted pose: re-triangulation and BA
+        # under a failed solve poison the map (r2 death-spiral defect; the
+        # reference simply throws here, stereo_vo.cpp:624-627).
         need_kf = (
             (overlap < cfg.keyframe.thres_overlap_ratio)
             | (trans > cfg.keyframe.thres_translation)
             | (rot_deg > cfg.keyframe.thres_rotation)
-        )
+        ) & pose_ok
+
+        fail_count = jnp.where(pose_ok, 0, state.fail_count + 1).astype(jnp.int32)
 
         # Landmarks whose accumulated max parallax clears the map threshold
         # (statisticsStamped n_ok_parallax).
@@ -447,6 +482,8 @@ class StereoVO:
             avg_parallax=avg_parallax,
             avg_age=avg_age,
             n_ok_parallax=n_ok_parallax,
+            fail_count=fail_count,
+            recovered=jnp.asarray(0, jnp.int32),
         )
 
         new_state = state._replace(
@@ -458,8 +495,80 @@ class StereoVO:
             arena=arena,
             pyr_prev=pyr_l,
             frame_id=state.frame_id + 1,
+            fail_count=fail_count,
         )
         return new_state, stats
+
+    def _recover_impl(self, state: StereoVOState, pyr_l, pyr_r, pts1, ok_track, has_3d):
+        """Tracking-loss recovery after `recover_after` consecutive failed
+        poses (r2 next-round ask #2; the reference fail-stops instead,
+        stereo_vo.cpp:624-627 — a running service needs detect-and-recover).
+
+        1. PnP relocalization (ops/pnp.py, parity with the reference's
+           calcPoseByPnP retry semantics, motion_estimator.cpp:174-201)
+           against surviving triangulated landmarks still tracked in 2D.
+        2. If PnP fails: re-bootstrap — fresh detection + stereo
+           triangulation epoch at the prior-propagated pose, with a reset
+           keyframe window (a fresh BA gauge; mixing pre/post-blackout
+           keyframes with disjoint landmarks would leave the new component
+           unanchored). Absolute error freezes at the blackout drift;
+           relative VO resumes immediately.
+
+        Returns (state, mode) with mode 1 = PnP, 2 = re-bootstrap.
+        """
+        m = self.cfg.motion
+        key = jax.random.fold_in(jax.random.key(0x5EC0), state.frame_id)
+        lm_X = state.arena.Xw[state.tracks.lm_idx]
+        cand = ok_track & has_3d & state.arena.alive[state.tracks.lm_idx]
+        from ..ops import pnp as PNP
+
+        T_cw_prior = geo.se3_inverse(state.T_wc)
+        pnp = PNP.pnp_ransac(
+            lm_X, pts1, cand, key, self.fx, self.fy, self.cx, self.cy,
+            thresh_px=1.5 * self.pose_params.reproj_thresh,
+            n_hypotheses=128, min_inlier_ratio=0.3,
+        )
+        T_wc_pnp = geo.se3_inverse(pnp.T_cw)
+        jump = jnp.linalg.norm(T_wc_pnp[:3, 3] - state.T_wc[:3, 3])
+        pnp_good = pnp.ok & (pnp.n_inliers >= 15) & (
+            jump <= 2.0 * m.recover_after * m.max_step_abs
+        )
+
+        def relocalize(s):
+            valid_new = (cand & pnp.inliers) | (s.tracks.valid & ~has_3d)
+            return s._replace(
+                T_wc=T_wc_pnp,
+                tracks=s.tracks._replace(valid=valid_new),
+                fail_count=jnp.asarray(0, jnp.int32),
+            )
+
+        def rebootstrap(s):
+            arena = s.arena._replace(tracked=jnp.zeros((self.M,), bool))
+            tracks, arena, pts_r_new, pts_r_valid, _n = self._replenish(
+                pyr_l, pyr_r, A.make_tracks(self.N), arena, s.T_wc, allow=True
+            )
+            ring = A.ring_push(
+                A.make_ring(self.K, self.N),
+                geo.se3_inverse(s.T_wc),
+                s.frame_id,
+                tracks.pts,
+                pts_r_new,
+                tracks.lm_idx,
+                tracks.valid,
+                pts_r_valid,
+            )
+            return s._replace(
+                tracks=tracks,
+                tracks_r=pts_r_new,
+                tracks_r_valid=pts_r_valid,
+                arena=arena,
+                ring=ring,
+                fail_count=jnp.asarray(0, jnp.int32),
+            )
+
+        state = jax.lax.cond(pnp_good, relocalize, rebootstrap, state)
+        mode = jnp.where(pnp_good, 1, 2).astype(jnp.int32)
+        return state, mode
 
     def _steady_step_impl(self, state: StereoVOState, img_l, img_r):
         """One steady-state frame = the four stage impls fused into one jit
@@ -474,10 +583,17 @@ class StereoVO:
         T10, dT_new, T_wc_new, survived, pose_ok, mean_err = self._pose_stage_impl(
             state, pts1, pts_r1, ok_track, ok_stereo, has_3d
         )
-        return self._update_stage_impl(
+        new_state, stats = self._update_stage_impl(
             state, pyr_l, pyr_r, pts1, pts_r1, ok_track, ok_stereo, scale_prior,
             T10, dT_new, T_wc_new, survived, pose_ok, mean_err,
         )
+        new_state, mode = jax.lax.cond(
+            new_state.fail_count >= self.cfg.motion.recover_after,
+            lambda s: self._recover_impl(s, pyr_l, pyr_r, pts1, ok_track, has_3d),
+            lambda s: (s, jnp.asarray(0, jnp.int32)),
+            new_state,
+        )
+        return new_state, stats._replace(recovered=mode)
 
     def _retriangulate_tracked(self, state: StereoVOState):
         """Keyframe-time depth refresh (reference stereo_vo.cpp:764-797):
@@ -551,11 +667,13 @@ class StereoVO:
         # Acceptance guard: a solve that ends worse than it started (poisoned
         # window — dynamic-object landmarks, bad poses) is rejected wholesale;
         # the reference throws on divergence (:652-654), a running system
-        # keeps the pre-BA state instead.
-        accept = (
-            jnp.isfinite(res.mean_err_px)
-            & (res.mean_err_px <= res.mean_err0_px * 1.05 + 0.1)
-            & (res.mean_err_px < 8.0)
+        # keeps the pre-BA state instead. A solve that MATERIALLY improves a
+        # bad window is accepted even above the absolute gate — otherwise a
+        # >8 px window is frozen and BA livelocks re-rejecting it forever.
+        improved = res.mean_err_px <= res.mean_err0_px * 0.98
+        accept = jnp.isfinite(res.mean_err_px) & (
+            improved
+            | ((res.mean_err_px <= res.mean_err0_px * 1.05 + 0.1) & (res.mean_err_px < 8.0))
         )
         T_cw_res = jnp.where(accept, res.T_cw, gathered["T_cw"])
         Xw_res = jnp.where(accept, res.Xw, state.arena.Xw)
@@ -655,6 +773,8 @@ class StereoVO:
                 "overlap_ratio": float(fstats.overlap_ratio[i]),
                 "avg_parallax": float(fstats.avg_parallax[i]),
                 "avg_age": float(fstats.avg_age[i]),
+                "fail_count": int(fstats.fail_count[i]),
+                "recovered": int(fstats.recovered[i]),
                 "ba_err": float(ba_errs[i]) if ba_errs[i] >= 0 else None,
             }
             self.trajectory.append(poses[i])
@@ -678,8 +798,9 @@ class StereoVO:
                 jax.jit(self._stereo_stage_impl),
                 jax.jit(self._pose_stage_impl),
                 jax.jit(self._update_stage_impl),
+                jax.jit(self._recover_impl),
             )
-        jt, js, jp, ju = self._j_stages
+        jt, js, jp, ju, jr = self._j_stages
         t0 = _time.perf_counter()
         out_t = jax.block_until_ready(jt(state, il, ir))
         t1 = _time.perf_counter()
@@ -692,6 +813,11 @@ class StereoVO:
         new_state, stats = jax.block_until_ready(
             ju(state, pyr_l, pyr_r, pts1, pts_r1, ok_track, ok_stereo, scale_prior, *out_p)
         )
+        if int(new_state.fail_count) >= self.cfg.motion.recover_after:
+            new_state, mode = jax.block_until_ready(
+                jr(new_state, pyr_l, pyr_r, pts1, ok_track, has_3d)
+            )
+            stats = stats._replace(recovered=mode)
         t4 = _time.perf_counter()
         stage_ms = {
             "time_track": (t1 - t0) * 1e3,
@@ -772,6 +898,8 @@ class StereoVO:
             "overlap_ratio": float(fstats.overlap_ratio),
             "avg_parallax": float(fstats.avg_parallax),
             "avg_age": float(fstats.avg_age),
+            "fail_count": int(fstats.fail_count),
+            "recovered": int(fstats.recovered),
             "ba_err": ba_err,
         }
         if stage_ms is not None:

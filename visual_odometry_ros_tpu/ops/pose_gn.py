@@ -42,7 +42,15 @@ class PoseGNParams(NamedTuple):
     step_tol: float = 1e-4
     cost_tol: float = 1e-5  # relative |dcost| / cost
     reproj_thresh: float = 1.5  # px, inlier gate for the output mask
-    min_inlier_ratio: float = 0.6
+    # The reference's pose-only BA fails only on NaN (motion_estimator.cpp:
+    # 857,1084); its mono caller additionally requires >=10 points
+    # (mono_vo.cpp:864-866). We gate on an ABSOLUTE inlier floor (a pose fit
+    # by 60 points is valid even when 200 occluder tracks are outliers —
+    # r2 frame-16 false-failure mode) plus a low ratio floor against
+    # fitting pure noise; the model-level motion-sanity gate rejects
+    # wrong-but-consistent solves.
+    min_inlier_ratio: float = 0.25
+    min_inliers: int = 10
 
 
 def _project_jacobian(Xc: jax.Array, fx, fy):
@@ -116,10 +124,12 @@ def _pose_gn_core(residual_fn, T_init, valid, params: PoseGNParams, n_rows: int)
     err = jnp.sqrt(jnp.sum(r * r, axis=-1) / (n_rows // 2))
     inliers = valid & (err < params.reproj_thresh)
     mean_err = jnp.sum(err * w_valid) / n_valid
-    inlier_ratio = jnp.sum(inliers) / n_valid
+    n_inl = jnp.sum(inliers)
+    inlier_ratio = n_inl / n_valid
     ok = (
         jnp.all(jnp.isfinite(T))
         & (inlier_ratio >= params.min_inlier_ratio)
+        & (n_inl >= params.min_inliers)
         & jnp.isfinite(mean_err)
     )
     return PoseGNResult(T, inliers, mean_err, ok, it)
@@ -259,11 +269,28 @@ def pose_only_gn_stereo_robust(
     res2 = pose_only_gn_stereo(
         X0, pts_l1, pts_r1, keep, valid_r & keep, fx, fy, cx, cy, T_rl, T1, params
     )
-    use2 = res2.ok & (~res1.ok | (res2.mean_err <= res1.mean_err))
+    # Pass selection on the COMMON point set (all of `valid_l`): res2's
+    # mean_err averages only over the gated subset, so comparing means is
+    # biased toward pass 2 — compare inlier counts under each candidate
+    # pose over the same set instead.
+    err2_all = _reproj_err_px(res2.T10, X0, pts_l1, fx, fy, cx, cy)
+    n1 = jnp.sum(valid_l & (err1 < params.reproj_thresh))
+    n2 = jnp.sum(valid_l & (err2_all < params.reproj_thresh))
+    use2 = res2.ok & (~res1.ok | (n2 >= n1))
     T = jnp.where(use2, res2.T10, jnp.where(res1.ok, res1.T10, T_10_init))
     err = _reproj_err_px(T, X0, pts_l1, fx, fy, cx, cy)
     inliers = valid_l & (err < params.reproj_thresh)
-    ok = res1.ok | res2.ok
+    # Re-gate ok on the FINAL inlier set over the full valid population:
+    # pass-2's internal ok is computed over its gated subset, so a pose
+    # supported by a handful of mutually-consistent aliases could otherwise
+    # report ok=True (r2 frame-16/26 false-accepts on repeated texture).
+    n_fin = jnp.sum(inliers)
+    n_all = jnp.maximum(jnp.sum(valid_l), 1)
+    ok = (
+        (res1.ok | res2.ok)
+        & (n_fin >= params.min_inliers)
+        & (n_fin / n_all >= params.min_inlier_ratio)
+    )
     mean_err = jnp.where(use2, res2.mean_err, res1.mean_err)
     n_iter = res1.n_iter + res2.n_iter
     return PoseGNResult(T, inliers, mean_err, ok, n_iter), err
@@ -288,10 +315,21 @@ def pose_only_gn_mono_robust(
     err1 = _reproj_err_px(T1, X0, pts1, fx, fy, cx, cy)
     keep = valid & (err1 < gate_scale * params.reproj_thresh)
     res2 = pose_only_gn_mono(X0, pts1, keep, fx, fy, cx, cy, T1, params)
-    use2 = res2.ok & (~res1.ok | (res2.mean_err <= res1.mean_err))
+    # Common-set pass selection (see stereo twin).
+    err2_all = _reproj_err_px(res2.T10, X0, pts1, fx, fy, cx, cy)
+    n1 = jnp.sum(valid & (err1 < params.reproj_thresh))
+    n2 = jnp.sum(valid & (err2_all < params.reproj_thresh))
+    use2 = res2.ok & (~res1.ok | (n2 >= n1))
     T = jnp.where(use2, res2.T10, jnp.where(res1.ok, res1.T10, T_10_init))
     err = _reproj_err_px(T, X0, pts1, fx, fy, cx, cy)
     inliers = valid & (err < params.reproj_thresh)
-    ok = res1.ok | res2.ok
+    # Re-gate ok on the final inlier set (see stereo twin).
+    n_fin = jnp.sum(inliers)
+    n_all = jnp.maximum(jnp.sum(valid), 1)
+    ok = (
+        (res1.ok | res2.ok)
+        & (n_fin >= params.min_inliers)
+        & (n_fin / n_all >= params.min_inlier_ratio)
+    )
     mean_err = jnp.where(use2, res2.mean_err, res1.mean_err)
     return PoseGNResult(T, inliers, mean_err, ok, res1.n_iter + res2.n_iter), err

@@ -324,7 +324,7 @@ def track_with_scale(
     if use_pallas:
         # Feature-parallel Phase-A/B kernel (klt_pallas_fp): patches resampled
         # to canonical unit scale once, GN iterations whole-bank vectorized.
-        # Supersedes the latency-bound scalar-loop kernel in klt_pallas.py.
+        # Supersedes the original latency-bound scalar-loop pallas kernel (removed r3).
         from .klt_pallas_fp import track_scale_fp
 
         p1, err, ok = track_scale_fp(

@@ -425,6 +425,10 @@ class DistortedStereoSequence:
         yd = y * radial + 2.0 * p2 * x * y + p1 * (r2 + 2.0 * y * y)
         return np.stack([xd, yd], axis=-1)
 
+    def render(self, T_cw: np.ndarray) -> np.ndarray:
+        """Single distorted view (mono streams)."""
+        return self.base.render(T_cw, pix=self.ideal_pix)
+
     def stereo_pair(self, T_wc: np.ndarray):
         T_cw_l = np.linalg.inv(T_wc)
         T_cw_r = np.linalg.inv(T_wc @ self.T_lr.astype(np.float64))

@@ -65,6 +65,14 @@ class MonoVO:
         self.cam = cam_mod.make_camera(c.fx, c.fy, c.cx, c.cy, c.dist, c.width, c.height)
         self.fx, self.fy = float(c.fx), float(c.fy)
         self.cx, self.cy = float(c.cx), float(c.cy)
+        # Mono undistortion (reference camera.cpp:163-183, flag read at
+        # mono_vo.cpp:150-160): precompute the per-pixel source map once; the
+        # pipeline then sees ideal-pinhole images under the same K (all
+        # projection ops here are distortion-free).
+        if cfg.flagDoUndistortion and float(np.abs(c.dist).max()) > 0:
+            self._undist_map = cam_mod.image_undistort_maps(self.cam)
+        else:
+            self._undist_map = None
         self.N = cfg.extractor.n_features
         self.M = cfg.map.landmark_capacity
         self.K = cfg.keyframe.n_max_keyframes_in_window + 1
@@ -97,6 +105,11 @@ class MonoVO:
         self._fallback_5pt = jax.jit(self._fallback_5pt_impl)
         self._keyframe_step = jax.jit(self._keyframe_step_impl)
         self._recover = jax.jit(self._recover_impl)
+        self._remap = (
+            jax.jit(lambda im: cam_mod.remap(im, self._undist_map))
+            if self._undist_map is not None
+            else None
+        )
 
         self.phase = 0
         self.state: MonoVOState | None = None
@@ -771,6 +784,8 @@ class MonoVO:
         # Batch u8 -> f32 once; per-frame retiling inside the scan costs
         # ~1.4 ms/image on TPU (see stereo scan path).
         imgs = imgs.astype(jnp.float32)
+        if self._undist_map is not None:
+            imgs = jax.vmap(lambda im: cam_mod.remap(im, self._undist_map))(imgs)
 
         def one_frame(carry, img):
             state, key = carry
@@ -924,6 +939,8 @@ class MonoVO:
         import time as _time
 
         im = jnp.asarray(img, jnp.float32)
+        if self._remap is not None:
+            im = self._remap(im)
         if self.phase == 0:
             self.state = self._first_frame(im)
             self.phase = 1

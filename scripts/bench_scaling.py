@@ -27,10 +27,13 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def build_problem(M: int, K: int, seed: int = 0):
+def build_problem_np(M: int, K: int, seed: int = 0):
+    """Deterministic synthetic BA problem as host numpy (no device placement).
+
+    Every process of a multi-host job rebuilds the identical problem from the
+    seed; placement then only donates local shards (parallel/multihost.py)."""
     import jax.numpy as jnp
 
-    from visual_odometry_ros_tpu.ops import ba as BA
     from visual_odometry_ros_tpu.utils import geometry as geo
 
     rng = np.random.default_rng(seed)
@@ -142,17 +145,23 @@ def main(argv=None):
         # measures collective + partition overhead — the only thing a virtual
         # mesh *can* measure. On real chips each device adds compute and the
         # usual ideals apply.
-        host_limited = jax.devices()[0].platform == "cpu" and "force_host" in (
-            os.environ.get("XLA_FLAGS", "")
-        ).replace("xla_force_host_platform_device_count", "force_host")
+        host_limited = (
+            jax.devices()[0].platform == "cpu"
+            and "xla_force_host_platform_device_count"
+            in os.environ.get("XLA_FLAGS", "")
+        )
         dev_ratio = last["devices"] / base["devices"]
+        raw_ratio = last["value"] / base["value"]
         if args.strong:
-            speedup = last["value"] / base["value"]
-            eff = speedup if host_limited else speedup / dev_ratio
+            eff = raw_ratio if host_limited else raw_ratio / dev_ratio
         else:
             # weak: per-device load constant. Real chips: ideal iters/s flat.
             # Host-limited: total work grows xN on fixed cores, ideal 1/N.
-            eff = (last["value"] / base["value"]) * (dev_ratio if host_limited else 1.0)
+            eff = raw_ratio * (dev_ratio if host_limited else 1.0)
+        # The host-limited "ideal" assumes the base run saturates the cores;
+        # if it doesn't, extra virtual devices add real parallelism and the
+        # rescaled figure flatters. Cap at 1.0 and always report the raw
+        # iters/s ratio alongside (r2 ADVICE medium).
         print(
             json.dumps(
                 {
@@ -160,7 +169,8 @@ def main(argv=None):
                     "mode": "strong" if args.strong else "weak",
                     "host_limited_ideal": host_limited,
                     "devices": last["devices"],
-                    "value": round(eff, 3),
+                    "value": round(min(eff, 1.0), 3),
+                    "raw_iters_ratio": round(raw_ratio, 3),
                     "unit": "fraction",
                 }
             )

@@ -94,9 +94,17 @@ class _MipTex:
 
 
 class Plane:
-    """One textured plane X(s, t) = origin + e1*s + e2*t (world coords)."""
+    """One textured plane X(s, t) = origin + e1*s + e2*t (world coords).
 
-    def __init__(self, origin, e1, e2, seed=3, tex_size=512, tex_scale=60.0, smooth=2):
+    `extent=(s0, s1, t0, t1)` bounds the plane to a rectangle in its own
+    (s, t) coords — outside it the intersection reports depth -1 (invalid),
+    so the z-buffer compositor simply doesn't see it. Bounded planes model
+    fronto-parallel scene furniture (signs, doorways, crates) mounted inside
+    an enclosing box world."""
+
+    def __init__(
+        self, origin, e1, e2, seed=3, tex_size=512, tex_scale=60.0, smooth=2, extent=None
+    ):
         self.origin = np.asarray(origin, np.float64)
         self.e1 = np.asarray(e1, np.float64)
         self.e2 = np.asarray(e2, np.float64)
@@ -104,6 +112,7 @@ class Plane:
         self.A = np.stack([self.e1, self.e2, self.origin], axis=1)
         self.tex = _MipTex(_smooth_texture(np.random.default_rng(seed), tex_size, smooth))
         self.tex_scale = tex_scale
+        self.extent = extent
 
     def intersect(self, K, T_cw, uu, vv):
         """Per-pixel ray/plane intersection.
@@ -121,6 +130,10 @@ class Plane:
         tt = ph[..., 1] / w_safe
         Xw = self.origin + s[..., None] * self.e1 + tt[..., None] * self.e2
         depth = Xw @ R[2] + t[2]
+        if self.extent is not None:
+            s0, s1, t0, t1 = self.extent
+            inside = (s >= s0) & (s <= s1) & (tt >= t0) & (tt <= t1)
+            depth = np.where(inside, depth, -1.0)
         img = self.tex.sample(s, tt, self.tex_scale)
         return img, depth
 
@@ -184,6 +197,34 @@ class CorridorSequence:
             Plane([0, -ceil_y, 0], [1, 0, 0], [0, 0, 1], seed=19, **kw),  # ceiling
             Plane([0, 0, length], [1, 0, 0], [0, 1, 0], seed=23, **kw),  # end cap
         ]
+        # Fronto-parallel panels (signs / doorways / crates) staggered along
+        # the corridor. A bare box world is a stereo worst case no real scene
+        # exhibits: EVERY visible surface at grazing incidence except one
+        # far-away end cap, so subpixel disparity is ill-posed everywhere
+        # near (measured: coherent 5-20% depth bias on floor/wall births —
+        # the r3 adversarial-run collapse). KITTI-like scenes are full of
+        # fronto-parallel structure (facades, vehicles, signs); these panels
+        # restore that while keeping the grazing surfaces, the repeated wall
+        # texture, and every HardSequence adversity in place.
+        z_p, k = 5.0, 0
+        while z_p < length - 10.0:
+            side = -1.0 if k % 2 == 0 else 1.0
+            inset = 0.45 + 0.35 * ((k * 2654435761) % 3)  # 0.45/0.80/1.15 m
+            x_c = side * (half_width - inset)
+            self.planes.append(
+                Plane(
+                    [x_c - 0.65, -0.85, z_p],
+                    [1, 0, 0],
+                    [0, 1, 0],
+                    seed=101 + k,
+                    tex_size=128,
+                    tex_scale=85.0,
+                    smooth=1,
+                    extent=(0.0, 1.3, 0.0, 1.4),
+                )
+            )
+            z_p += 3.5
+            k += 1
         self.extent = dict(half_width=half_width, floor_y=floor_y, ceil_y=ceil_y, length=length)
         self._grid = np.meshgrid(
             np.arange(width, dtype=np.float64), np.arange(height, dtype=np.float64)

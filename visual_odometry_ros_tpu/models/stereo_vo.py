@@ -158,16 +158,63 @@ class StereoVO:
             img, self.klt_params.levels, with_gradients=not self.klt_params.use_pallas
         )
 
-    def _stereo_match(self, pyr_l, pyr_r, pts_l, valid, depth_prior=None, bidir=True):
+    def _coarse_disparity_prior(self, pyr_l, pyr_r, pts):
+        """Measured per-feature disparity prior for NEW features (r2 VERDICT
+        missing #5): a coarse-level ZNCC cost volume (ops/stereo_disparity.py,
+        the MATLAB-prototype parity op) sampled at the feature locations.
+
+        The round-2 pipeline seeded new-feature stereo KLT with a FIXED 8 px
+        disparity (~31 m at fx*b=250) — near-field structure starts 50-150 px
+        from that prior, far outside pyramidal KLT's convergence basin, so
+        replenishment either starved or locked onto a repeated-texture alias
+        one period off (the f44+ recovery livelock: every re-bootstrap
+        re-triangulated garbage depths). The reference instead runs full
+        bidirectional LK with a template-scaled search (stereo_vo.cpp:708-711);
+        the TPU-native equivalent is one dense coarse cost volume — D shifted
+        whole-image ZNCC maps, all MXU/VPU-friendly — shared by every feature.
+
+        Features on ambiguous pixels (multi-peak repeated texture, low
+        texture) fall back to the masked-histogram median of the valid map —
+        within the KLT basin whenever the scene has any dominant depth band.
+        """
+        from ..ops import stereo_disparity as SD
+        from ..utils import interp, robust
+
+        lvl = min(2, len(pyr_l) - 1)
+        scale = float(2**lvl)
+        dres = SD.zncc_disparity(
+            pyr_l[lvl][0],
+            pyr_r[lvl][0],
+            max_disp=48,
+            radius=3,
+            min_zncc=0.5,
+            peak_margin=0.03,
+            fxb=self.fx * self.baseline / scale,
+        )
+        pts_c = pts / scale
+        d_s, ok_s = interp.bilinear_sample(dres.disparity, pts_c, valid_border=1.0)
+        v_s, _ = interp.bilinear_sample(dres.valid.astype(jnp.float32), pts_c, valid_border=1.0)
+        med = robust.masked_median_histogram(
+            dres.disparity.ravel(), dres.valid.ravel(), 0.0, 48.0, 96
+        )
+        med = jnp.where(jnp.any(dres.valid), med, 8.0 / scale)
+        good = ok_s & (v_s > 0.99)
+        return jnp.where(good, d_s, med) * scale, good
+
+    def _stereo_match(
+        self, pyr_l, pyr_r, pts_l, valid, depth_prior=None, disp_prior=None, bidir=True
+    ):
         """Static stereo matching: prior-seeded KLT along the epipolar line
         (rectified -> prior = disparity shift). New features (no depth) get
         the bidirectional check; tracked features with a depth prior use the
         forward-only pass, matching the reference's steady step [5]
         (trackWithPrior, stereo_vo.cpp:563-569)."""
-        if depth_prior is None:
-            disp = jnp.full(pts_l.shape[:1], 8.0)
-        else:
+        if depth_prior is not None:
             disp = self.fx * self.baseline / jnp.maximum(depth_prior, 0.5)
+        elif disp_prior is not None:
+            disp = disp_prior
+        else:
+            disp = jnp.full(pts_l.shape[:1], 8.0)
         prior = pts_l - jnp.stack([disp, jnp.zeros_like(disp)], axis=-1)
         # epi1d: rectified stereo is a 1-D search along the epipolar row —
         # constraining the KLT update to x makes repeated/self-similar
@@ -220,7 +267,19 @@ class StereoVO:
             score_min=cfg.extractor.score_min,
         )
         new_ok = new_ok & allow
-        pts_r, ok_r, disp = self._stereo_match(pyr_l, pyr_r, new_pts, new_ok)
+        disp_prior, prior_ok = self._coarse_disparity_prior(pyr_l, pyr_r, new_pts)
+        pts_r, ok_r, disp = self._stereo_match(
+            pyr_l, pyr_r, new_pts, new_ok, disp_prior=disp_prior
+        )
+        # Birth gate: the KLT disparity must agree with a DISTINCT-peak ZNCC
+        # measurement. On repeated texture (tiled facades, the HardSequence
+        # side walls) the bidirectional check is useless — both directions
+        # alias consistently one texture period off — and such matches carry
+        # 20-50 px disparity error straight into the arena as confident
+        # near-field landmarks (the r2/r3 collapse at KITTI-like corridor
+        # scale). The cost volume's multi-peak rejection is the only signal
+        # that knows the match is ambiguous; no distinct peak -> no landmark.
+        ok_r = ok_r & prior_ok & (jnp.abs(disp - disp_prior) < 4.0)
         Xc, ok3 = self._triangulate_stereo(new_pts, disp, new_ok & ok_r)
         Xw = geo.transform_points(T_wc, Xc)
 
@@ -307,7 +366,17 @@ class StereoVO:
         depth_prev = geo.transform_points(T_cw_prev, lm_X)[..., 2]
         scale_prior = jnp.clip(depth_prev / jnp.maximum(prior_depth, 0.1), 0.25, 4.0)
         has_3d = tracks.valid & arena.triangulated[tracks.lm_idx] & (prior_depth > 0.1)
-        prior_pts = jnp.where(has_3d[:, None], prior_pts, tracks.pts)
+        # Blackout guard: while the pose is untrusted (fail_count > 0) the
+        # constant-velocity pose compounds error every frame, and seeding KLT
+        # at landmark projections under that pose locks repeated-texture
+        # features onto the alias CONSISTENT WITH THE WRONG PRIOR — garbage
+        # correspondences that then admit no pose at all (the r3 recovery
+        # livelock: GN converged fine but to 12 px mean residual). A zero-
+        # flow pixel prior is pose-free and lands within the coarse-level
+        # basin for ordinary frame rates; use it until the pose re-locks.
+        blackout = state.fail_count > 0
+        prior_pts = jnp.where(has_3d[:, None] & ~blackout, prior_pts, tracks.pts)
+        scale_prior = jnp.where(blackout, jnp.ones_like(scale_prior), scale_prior)
 
         # [4] forward KLT with prior (pyramid of the previous frame is cached
         # in state — each image's pyramid is built exactly once per frame).

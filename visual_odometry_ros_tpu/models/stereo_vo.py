@@ -271,15 +271,18 @@ class StereoVO:
         pts_r, ok_r, disp = self._stereo_match(
             pyr_l, pyr_r, new_pts, new_ok, disp_prior=disp_prior
         )
-        # Birth gate: the KLT disparity must agree with a DISTINCT-peak ZNCC
-        # measurement. On repeated texture (tiled facades, the HardSequence
-        # side walls) the bidirectional check is useless — both directions
-        # alias consistently one texture period off — and such matches carry
-        # 20-50 px disparity error straight into the arena as confident
-        # near-field landmarks (the r2/r3 collapse at KITTI-like corridor
-        # scale). The cost volume's multi-peak rejection is the only signal
-        # that knows the match is ambiguous; no distinct peak -> no landmark.
-        ok_r = ok_r & prior_ok & (jnp.abs(disp - disp_prior) < 4.0)
+        # Birth gate (soft): where the coarse ZNCC cost volume has a DISTINCT
+        # peak at the feature (prior_ok), the KLT disparity must agree with it
+        # — on repeated texture (tiled facades, HardSequence side walls) the
+        # bidirectional check aliases consistently one texture period off, and
+        # only the cost volume's multi-peak rejection knows the match is
+        # ambiguous. Where the cost volume has NO confident peak (smooth
+        # texture: distinct-peak + variance gates mark ~everything invalid),
+        # the bidirectional KLT + row/disparity gates alone decide — the
+        # reference births landmarks off bidirectional LK with no cost-volume
+        # veto at all (stereo_vo.cpp:708-739). A hard prior_ok requirement
+        # starved ALL births on smooth worlds (r3 zero-motion regression).
+        ok_r = ok_r & (~prior_ok | (jnp.abs(disp - disp_prior) < 4.0))
         Xc, ok3 = self._triangulate_stereo(new_pts, disp, new_ok & ok_r)
         Xw = geo.transform_points(T_wc, Xc)
 

@@ -48,9 +48,14 @@ def build_vo():
 
 
 def make_frames(n, width=1241, height=376):
-    from visual_odometry_ros_tpu.io.synthetic import PlaneSequence, forward_trajectory
+    from visual_odometry_ros_tpu.io.synthetic import CorridorSequence, forward_trajectory
 
-    world = PlaneSequence(
+    # A corridor fit around the trajectory so every pose stays inside the
+    # valid viewing volume (the r3 chirality guard correctly rejected the old
+    # drive-through PlaneSequence world).
+    poses = forward_trajectory(n, step=0.8, yaw_rate=0.0015)
+    world = CorridorSequence.fit(
+        poses,
         width=width,
         height=height,
         fx=718.856,
@@ -58,11 +63,9 @@ def make_frames(n, width=1241, height=376):
         cx=607.1928,
         cy=185.2157,
         baseline=0.5371657,
-        z0=15.0,
-        sx=0.3,
-        sy=0.15,
+        wall_tex_size=256,
+        wall_tex_scale=40.0,
     )
-    poses = forward_trajectory(n, step=0.8, yaw_rate=0.0015)
     pairs = [world.stereo_pair(T.astype(np.float64)) for T in poses]
     # Camera-native uint8 payload across the host->device link.
     il = np.stack([np.clip(l, 0, 255).astype(np.uint8) for l, _ in pairs])

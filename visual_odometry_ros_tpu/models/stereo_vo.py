@@ -194,12 +194,14 @@ class StereoVO:
         pts_c = pts / scale
         d_s, ok_s = interp.bilinear_sample(dres.disparity, pts_c, valid_border=1.0)
         v_s, _ = interp.bilinear_sample(dres.valid.astype(jnp.float32), pts_c, valid_border=1.0)
+        a_s, _ = interp.bilinear_sample(dres.ambiguous.astype(jnp.float32), pts_c, valid_border=1.0)
         med = robust.masked_median_histogram(
             dres.disparity.ravel(), dres.valid.ravel(), 0.0, 48.0, 96
         )
         med = jnp.where(jnp.any(dres.valid), med, 8.0 / scale)
         good = ok_s & (v_s > 0.99)
-        return jnp.where(good, d_s, med) * scale, good
+        ambiguous = a_s > 0.01  # any repeated-texture support in the footprint
+        return jnp.where(good, d_s, med) * scale, good, ambiguous
 
     def _stereo_match(
         self, pyr_l, pyr_r, pts_l, valid, depth_prior=None, disp_prior=None, bidir=True
@@ -267,22 +269,34 @@ class StereoVO:
             score_min=cfg.extractor.score_min,
         )
         new_ok = new_ok & allow
-        disp_prior, prior_ok = self._coarse_disparity_prior(pyr_l, pyr_r, new_pts)
+        disp_prior, prior_ok, ambiguous = self._coarse_disparity_prior(
+            pyr_l, pyr_r, new_pts
+        )
         pts_r, ok_r, disp = self._stereo_match(
             pyr_l, pyr_r, new_pts, new_ok, disp_prior=disp_prior
         )
-        # Birth gate (soft): where the coarse ZNCC cost volume has a DISTINCT
-        # peak at the feature (prior_ok), the KLT disparity must agree with it
-        # — on repeated texture (tiled facades, HardSequence side walls) the
-        # bidirectional check aliases consistently one texture period off, and
-        # only the cost volume's multi-peak rejection knows the match is
-        # ambiguous. Where the cost volume has NO confident peak (smooth
-        # texture: distinct-peak + variance gates mark ~everything invalid),
-        # the bidirectional KLT + row/disparity gates alone decide — the
-        # reference births landmarks off bidirectional LK with no cost-volume
-        # veto at all (stereo_vo.cpp:708-739). A hard prior_ok requirement
-        # starved ALL births on smooth worlds (r3 zero-motion regression).
-        ok_r = ok_r & (~prior_ok | (jnp.abs(disp - disp_prior) < 4.0))
+        # Birth gate (three-state, from the coarse ZNCC cost volume):
+        #   distinct peak  -> KLT disparity must AGREE with it (±4 px);
+        #   ambiguous      -> VETO: strong multi-modal correlation = repeated
+        #                     texture; bidirectional KLT aliases consistently
+        #                     one period off here and would seed confident
+        #                     garbage depths (the r2/r3 corridor collapse);
+        #   no signal      -> bidirectional KLT + row/disparity gates alone
+        #                     decide, matching the reference's LK-only birth
+        #                     path (stereo_vo.cpp:708-739). A hard distinct-
+        #                     peak requirement here starved ALL births on
+        #                     smooth worlds (r3 zero-motion regression).
+        ok_r = ok_r & ~ambiguous & (~prior_ok | (jnp.abs(disp - disp_prior) < 4.0))
+        # Full-res per-feature verification (see verify_disparity_zncc): the
+        # coarse volume is blind where level-2 smoothing erases texture (the
+        # corridor vanishing region — 27% of f0 births were 18-46 px aliases
+        # there, enough to tip GN over under any added stress).
+        from ..ops import stereo_disparity as SD
+
+        ok_v, _ = SD.verify_disparity_zncc(
+            pyr_l[0][0], pyr_r[0][0], new_pts, disp, new_ok & ok_r
+        )
+        ok_r = ok_r & ok_v
         Xc, ok3 = self._triangulate_stereo(new_pts, disp, new_ok & ok_r)
         Xw = geo.transform_points(T_wc, Xc)
 
@@ -608,8 +622,15 @@ class StereoVO:
 
         def relocalize(s):
             valid_new = (cand & pnp.inliers) | (s.tracks.valid & ~has_3d)
+            # dT reset: the stale pre-blackout velocity seeds next frame's
+            # KLT priors and GN init; on repeated texture a wrong prior locks
+            # tracks onto the alias consistent with it, re-failing the pose
+            # forever (the r4 post-recovery livelock — GN converged to the
+            # same ~11 px minimum every frame). Zero motion is always inside
+            # the coarse-level KLT basin at ordinary frame rates.
             return s._replace(
                 T_wc=T_wc_pnp,
+                dT=jnp.eye(4, dtype=jnp.float32),
                 tracks=s.tracks._replace(valid=valid_new),
                 fail_count=jnp.asarray(0, jnp.int32),
             )
@@ -630,6 +651,7 @@ class StereoVO:
                 pts_r_valid,
             )
             return s._replace(
+                dT=jnp.eye(4, dtype=jnp.float32),  # see relocalize: stale-dT livelock
                 tracks=tracks,
                 tracks_r=pts_r_new,
                 tracks_r_valid=pts_r_valid,

@@ -286,10 +286,20 @@ def pose_only_gn_stereo_robust(
     # report ok=True (r2 frame-16/26 false-accepts on repeated texture).
     n_fin = jnp.sum(inliers)
     n_all = jnp.maximum(jnp.sum(valid_l), 1)
+    # Prior-competition arbitration: GN descends cost from T_10_init, so a
+    # healthy solve explains at least as many points as the prior does. A
+    # solution explaining FEWER points has latched onto a coherent outlier
+    # cluster (a dynamic object whose residuals dominate the Huber cost) —
+    # reject it and let the caller fail-soft on the prior (the r4 hard-
+    # sequence collapse: three successively worse poses accepted at
+    # 0.73/0.64/0.27 inlier ratio while the prior explained more points).
+    err_prior = _reproj_err_px(T_10_init, X0, pts_l1, fx, fy, cx, cy)
+    n_prior = jnp.sum(valid_l & (err_prior < params.reproj_thresh))
     ok = (
         (res1.ok | res2.ok)
         & (n_fin >= params.min_inliers)
         & (n_fin / n_all >= params.min_inlier_ratio)
+        & (n_fin >= n_prior)
     )
     mean_err = jnp.where(use2, res2.mean_err, res1.mean_err)
     n_iter = res1.n_iter + res2.n_iter
@@ -323,13 +333,17 @@ def pose_only_gn_mono_robust(
     T = jnp.where(use2, res2.T10, jnp.where(res1.ok, res1.T10, T_10_init))
     err = _reproj_err_px(T, X0, pts1, fx, fy, cx, cy)
     inliers = valid & (err < params.reproj_thresh)
-    # Re-gate ok on the final inlier set (see stereo twin).
+    # Re-gate ok on the final inlier set + prior-competition arbitration
+    # (see stereo twin).
     n_fin = jnp.sum(inliers)
     n_all = jnp.maximum(jnp.sum(valid), 1)
+    err_prior = _reproj_err_px(T_10_init, X0, pts1, fx, fy, cx, cy)
+    n_prior = jnp.sum(valid & (err_prior < params.reproj_thresh))
     ok = (
         (res1.ok | res2.ok)
         & (n_fin >= params.min_inliers)
         & (n_fin / n_all >= params.min_inlier_ratio)
+        & (n_fin >= n_prior)
     )
     mean_err = jnp.where(use2, res2.mean_err, res1.mean_err)
     return PoseGNResult(T, inliers, mean_err, ok, res1.n_iter + res2.n_iter), err

@@ -27,6 +27,10 @@ class DisparityResult(NamedTuple):
     valid: jax.Array  # [H, W] bool
     zncc: jax.Array  # [H, W] best-peak ZNCC score
     inv_depth_std: jax.Array  # [H, W] sigma of inverse depth (needs fx*b)
+    ambiguous: jax.Array  # [H, W] bool — strong but NON-distinct peak
+    # (repeated texture: the match is confidently multi-modal; distinct from
+    # plain invalid = low texture / weak correlation, where the volume simply
+    # has no opinion).
 
 
 @partial(jax.jit, static_argnames=("max_disp", "radius"))
@@ -89,20 +93,104 @@ def zncc_disparity(
     delta = jnp.clip(0.5 * (s_m - s_p) / -denom, -0.5, 0.5)
     disp = best.astype(jnp.float32) + jnp.where((best > 0) & (best < D - 1), delta, 0.0)
 
-    valid = (
-        distinct
-        & (best_s > min_zncc)
-        & (best > 0)
-        & (best < D - 1)
-        & (var_l > 25.0)  # textureless-left rejection
-    )
+    textured = (best_s > min_zncc) & (var_l > 25.0)
+    valid = distinct & textured & (best > 0) & (best < D - 1)
+    # Ambiguous = the volume matched STRONGLY in more than one place (repeated
+    # texture). This is positive evidence that any point match here aliases —
+    # the consumer should veto landmark births. Low-texture / weak-correlation
+    # pixels are merely invalid, not ambiguous: there the volume has no
+    # opinion and point trackers may still succeed.
+    ambiguous = textured & ~distinct
     disp = jnp.where(valid, disp, 0.0)
 
     # Inverse-depth sigma: rho = d / (fx b); sigma_rho = px_noise / (fx b).
     sigma_rho = jnp.full((H, W), px_noise / fxb, jnp.float32)
-    return DisparityResult(disp, valid, best_s, jnp.where(valid, sigma_rho, jnp.inf))
+    return DisparityResult(
+        disp, valid, best_s, jnp.where(valid, sigma_rho, jnp.inf), ambiguous
+    )
 
 
 def disparity_to_depth(res: DisparityResult, fxb: float):
     z = fxb / jnp.maximum(res.disparity, 1e-3)
     return jnp.where(res.valid, z, 0.0)
+
+
+@partial(jax.jit, static_argnames=("radius", "span", "step"))
+def verify_disparity_zncc(
+    left: jax.Array,
+    right: jax.Array,
+    pts_l: jax.Array,
+    disp: jax.Array,
+    valid: jax.Array,
+    radius: int = 4,
+    span: int = 32,
+    step: int = 1,
+    min_zncc: float = 0.5,
+    peak_margin: float = 0.03,
+    agree_px: float = 1.5,
+):
+    """Full-resolution per-feature verification of a stereo KLT match.
+
+    For each feature, ZNCC-scan the epipolar row in the right image over
+    disparities `disp ± span` and test three things:
+      1. the KLT match correlates (score at delta=0 > min_zncc);
+      2. the in-window global best sits AT the KLT match (|delta*| <= agree_px);
+      3. the profile is unimodal: no RIVAL LOCAL MAXIMUM more than 2 px from
+         the best within peak_margin of its score.
+    Smooth texture has a broad unimodal autocorrelation -> passes; repeated /
+    self-similar texture (tiled facades, a corridor's vanishing region — the
+    r4 birth-alias cluster at the horizon row, 18-46 px disparity errors) has
+    multiple local maxima -> vetoed. This is the level-0 companion of the
+    coarse cost volume's multi-peak rule (legacy/matlab/stereoDisparityStatic.m
+    parity): the coarse map goes blind exactly where level-2 smoothing erases
+    the texture; FAST features always have level-0 contrast, so a full-res
+    hard gate cannot starve births the way the r3 coarse-level one did.
+
+    Returns (ok [N] bool, best_score [N]).
+    """
+    n_d = 2 * span // step + 1
+    deltas = jnp.arange(-span, span + step, step, dtype=jnp.float32)  # [D]
+    dgrid = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    offs = jnp.stack(
+        jnp.meshgrid(dgrid, dgrid, indexing="xy"), axis=-1
+    ).reshape(-1, 2)  # [P, 2]
+
+    from ..utils import interp
+
+    patch_l, mask_l = interp.sample_patches(left, pts_l, offs)  # [N, P]
+    # Right centers: [N, D, 2]
+    ctr_r = jnp.stack(
+        [
+            pts_l[:, None, 0] - (disp[:, None] + deltas[None, :]),
+            jnp.broadcast_to(pts_l[:, None, 1], (pts_l.shape[0], n_d)),
+        ],
+        axis=-1,
+    )
+    pts_r = ctr_r[:, :, None, :] + offs[None, None, :, :]  # [N, D, P, 2]
+    patch_r, mask_r = interp.bilinear_sample(right, pts_r)
+    scores = interp.zncc(patch_l[:, None, :], patch_r, axis=-1)  # [N, D]
+    in_img = jnp.all(mask_r, axis=-1)  # [N, D]
+    scores = jnp.where(in_img, scores, -1.0)
+
+    i0 = span // step  # index of delta = 0 (the KLT match)
+    s_at = scores[:, i0]
+    best_i = jnp.argmax(scores, axis=-1)
+    best_d = deltas[best_i]
+    best_s = jnp.max(scores, axis=-1)
+
+    # Rival local maxima: strictly above left neighbour, >= right neighbour,
+    # farther than 2 px from the best, within peak_margin of the best score.
+    left_n = jnp.concatenate([jnp.full_like(scores[:, :1], -2.0), scores[:, :-1]], axis=1)
+    right_n = jnp.concatenate([scores[:, 1:], jnp.full_like(scores[:, :1], -2.0)], axis=1)
+    is_peak = (scores > left_n) & (scores >= right_n)
+    far = jnp.abs(deltas[None, :] - best_d[:, None]) > 2.0
+    rival = jnp.any(is_peak & far & (scores > best_s[:, None] - peak_margin), axis=-1)
+
+    ok = (
+        valid
+        & jnp.all(mask_l, axis=-1)
+        & (s_at > min_zncc)
+        & (jnp.abs(best_d) <= agree_px)
+        & ~rival
+    )
+    return ok, s_at

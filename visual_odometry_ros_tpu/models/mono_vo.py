@@ -160,11 +160,18 @@ class MonoVO:
         )
 
     def _init_track_impl(self, state: MonoVOState, img):
-        """Track first-frame detections into the current image; report median
-        pixel displacement (init readiness signal)."""
+        """Track the init features FRAME-TO-FRAME into the current image;
+        report median displacement vs the anchor frame (init readiness).
+
+        Frame-to-frame (prev pyramid, not the anchor pyramid) is what keeps
+        init alive on long spans: anchor-appearance KLT dies under scale
+        change / exposure drift well before forward motion builds 20 px of
+        median flow (the r3 mono null-ATE: tracks bled 108->0 over 30 init
+        frames and bootstrap never fired). The anchor correspondence is kept
+        by lane: pts0 = init_pts0, pts1 = chained track position."""
         pyr = self._build_pyr(img)
         pts1, ok = KLT.track_bidirectional_pyr(
-            state.pyr_first, pyr, state.init_pts0, state.tracks.pts, state.tracks.valid,
+            state.pyr_prev, pyr, state.tracks.pts, state.tracks.pts, state.tracks.valid,
             self.klt_params, back_levels=1
         )
         disp = jnp.linalg.norm(pts1 - state.init_pts0, axis=-1)
@@ -960,8 +967,17 @@ class MonoVO:
                 "keyframe": False,
             }
             # Bootstrap when features have moved enough for a conditioned
-            # 5-point solve (displacement proxy for parallax).
-            if med_disp > 20.0 and int(n_ok) > 60:
+            # 5-point solve (displacement proxy for parallax). Forward motion
+            # builds median flow slowly (radial field, ~0 at the FOE) — the
+            # span trigger bootstraps off accumulated baseline instead of
+            # waiting for 20 px that may never come; the reference inits off
+            # two consecutive frames with no flow gate at all
+            # (mono_vo.cpp:525-696).
+            span = int(self.state.frame_id) - 1
+            ready = int(n_ok) > 60 and (
+                med_disp > 20.0 or (span >= 8 and med_disp > 6.0)
+            )
+            if ready:
                 self._key, sub = jax.random.split(self._key)
                 self.state, ok, n_lm = self._init_bootstrap(self.state, sub)
                 if bool(ok):
@@ -970,6 +986,12 @@ class MonoVO:
                     stats["n_landmarks"] = int(n_lm)
                     stats["keyframe"] = True
                     self.kf_trajectory.append((stats["frame"], np.asarray(self.state.T_wc)))
+            elif int(n_ok) <= 60:
+                # Track starvation before bootstrap: re-anchor the init epoch
+                # at the current frame (fresh detections, span reset). Without
+                # this a failed anchor permanently wedges phase 1.
+                self.state = self._first_frame(im)
+                stats["phase"] = "init_reanchor"
             self.trajectory.append(np.asarray(self.state.T_wc))
             self.stats_log.append(stats)
             return np.asarray(self.state.T_wc), stats

@@ -12,6 +12,11 @@ real chips). Weak scaling by default: landmarks per device held constant.
 
   python scripts/bench_scaling.py [--devices 1 2 4 8] [--lm-per-dev 4096]
   python scripts/bench_scaling.py --strong --landmarks 32768
+
+Multi-process (multi-host) mode: N processes x D virtual devices each, one
+global mesh through jax.distributed (gRPC loopback here; ICI/DCN on a pod):
+
+  python scripts/bench_scaling.py --multiprocess 2 --local-devices 4
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ def build_problem_np(M: int, K: int, seed: int = 0):
     seed; placement then only donates local shards (parallel/multihost.py)."""
     import jax.numpy as jnp
 
+    from visual_odometry_ros_tpu.ops import ba as BA
     from visual_odometry_ros_tpu.utils import geometry as geo
 
     rng = np.random.default_rng(seed)
@@ -70,6 +76,96 @@ def build_problem_np(M: int, K: int, seed: int = 0):
     return problem, FX, FY, CX, CY, jnp.asarray(T_rl)
 
 
+def run_worker(args):
+    """One process of a --multiprocess job (also spawned by
+    tests/test_multihost.py). Initializes jax.distributed, joins the global
+    mesh, and runs the landmark-sharded BA on its shard of the problem."""
+    from visual_odometry_ros_tpu.parallel import multihost as MH
+
+    jax = MH.init_worker(
+        args.coordinator, args.num_procs, args.worker_id, args.local_devices
+    )
+    from visual_odometry_ros_tpu.ops import ba as BA
+    from visual_odometry_ros_tpu.parallel import dist_ba
+
+    n_dev = len(jax.devices())
+    M_total = args.landmarks or args.lm_per_dev * n_dev
+    M_total = (M_total + n_dev - 1) // n_dev * n_dev
+    problem, FX, FY, CX, CY, T_rl = build_problem_np(M_total, args.window)
+    mesh = MH.global_mesh()
+    prob_spec, _, _ = dist_ba._sharded_specs()
+    gproblem = MH.host_tree(problem, mesh, prob_spec)
+    solve = dist_ba.make_distributed_ba(mesh, BA.BAParams(iters=args.iters))
+    res = solve(gproblem, FX, FY, CX, CY, T_rl)  # compile + warm
+    jax.block_until_ready(res.T_cw)
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        res = solve(gproblem, FX, FY, CX, CY, T_rl)
+    jax.block_until_ready(res.T_cw)
+    dt = time.perf_counter() - t0
+    if args.worker_id == 0:
+        rec = {
+            "metric": "ba_iters_per_s_multiprocess",
+            "processes": args.num_procs,
+            "devices": n_dev,
+            "landmarks": M_total,
+            "window": args.window,
+            "value": round(args.reps * args.iters / dt, 2),
+            "unit": "GN iters/s",
+            "ms_per_solve": round(dt / args.reps * 1e3, 2),
+            "mean_err_px": round(float(res.mean_err_px), 4),
+        }
+        print(json.dumps(rec), flush=True)
+        if args.out:
+            # T_cw / mean_err are replicated -> addressable on every process.
+            np.savez(
+                args.out,
+                T_cw=np.asarray(res.T_cw),
+                mean_err_px=np.asarray(res.mean_err_px),
+                landmarks=M_total,
+                window=args.window,
+                iters=args.iters,
+            )
+
+
+def spawn_multiprocess(args):
+    """Driver: launch N worker processes over gRPC loopback and wait."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    procs = []
+    for wid in range(args.multiprocess):
+        cmd = [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--worker-id", str(wid),
+            "--num-procs", str(args.multiprocess),
+            "--coordinator", f"localhost:{port}",
+            "--local-devices", str(args.local_devices),
+            "--lm-per-dev", str(args.lm_per_dev),
+            "--window", str(args.window),
+            "--iters", str(args.iters),
+            "--reps", str(args.reps),
+        ]
+        if args.landmarks:
+            cmd += ["--landmarks", str(args.landmarks)]
+        if args.out and wid == 0:
+            cmd += ["--out", args.out]
+        procs.append(
+            subprocess.Popen(
+                cmd, env=env, stdout=None if wid == 0 else subprocess.DEVNULL
+            )
+        )
+    rcs = [p.wait(timeout=900) for p in procs]
+    if any(rcs):
+        raise SystemExit(f"multiprocess workers failed: rcs={rcs}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -80,7 +176,22 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--reps", type=int, default=10)
     p.add_argument("--platform", default=None)
+    p.add_argument("--multiprocess", type=int, default=None, metavar="N",
+                   help="spawn N processes over a jax.distributed global mesh")
+    p.add_argument("--local-devices", type=int, default=4,
+                   help="virtual devices per process in --multiprocess mode")
+    p.add_argument("--out", default=None, help="npz dump of the proc-0 result")
+    p.add_argument("--worker-id", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--num-procs", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--coordinator", default=None, help=argparse.SUPPRESS)
     args = p.parse_args(argv)
+
+    if args.worker_id is not None:
+        run_worker(args)
+        return
+    if args.multiprocess:
+        spawn_multiprocess(args)
+        return
 
     max_dev = max(args.devices)
     flags = os.environ.get("XLA_FLAGS", "")
@@ -111,7 +222,7 @@ def main(argv=None):
         else:
             M_total = args.lm_per_dev * nd
         M_total = (M_total + nd - 1) // nd * nd
-        problem, FX, FY, CX, CY, T_rl = build_problem(M_total, args.window)
+        problem, FX, FY, CX, CY, T_rl = build_problem_np(M_total, args.window)
         mesh = Mesh(np.asarray(jax.devices()[:nd]), ("lm",))
         solve = dist_ba.make_distributed_ba(mesh, BA.BAParams(iters=args.iters))
         res = solve(problem, FX, FY, CX, CY, T_rl)  # compile + warm

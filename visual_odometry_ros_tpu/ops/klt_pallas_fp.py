@@ -24,9 +24,10 @@ what the hardware is good at:
     caller needs no gradient pyramid.
 
 Margin M = 3: a feature may drift +-(M+1) px per level from its prior
-before clamping (coarse-to-fine restores the rest; parity vs OpenCV is
-tested in tests/test_klt_pallas.py). 32-row tiles fit radius <= 11:
-(2r+1) + 1 + (2M+1) + 1 <= 32.
+before clamping (coarse-to-fine restores the rest; interpret-mode parity vs
+the jnp path is tested in tests/test_klt_pallas_fp.py, OpenCV parity of the
+shared pyramid semantics in tests/test_klt_opencv_parity.py). 32-row tiles
+fit radius <= 11: (2r+1) + 1 + (2M+1) + 1 <= 32.
 
 The scale-compensated variant (reference trackWithScale,
 feature_tracker.cpp:236-504) reuses Phase B unchanged: its Phase A resamples

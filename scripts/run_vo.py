@@ -81,8 +81,13 @@ def build_dataset(args):
     from visual_odometry_ros_tpu.io.synthetic import TwoPlaneSequence, forward_trajectory
 
     n = args.frames or 30
-    world = TwoPlaneSequence()
-    poses = forward_trajectory(n, step=0.25, yaw_rate=0.002, lateral=0.1 if args.mode == "mono" else 0.0)
+    # Keep the whole trajectory comfortably in front of the near plane: at
+    # 0.25 m/frame the camera reaches the default z0_a=9 m plane by frame 36
+    # and the chirality guard (correctly) aborts the render.
+    step = 0.25
+    z_needed = step * n + 4.0
+    world = TwoPlaneSequence(z0_a=max(9.0, z_needed), z0_b=max(18.0, 2.0 * z_needed))
+    poses = forward_trajectory(n, step=step, yaw_rate=0.002, lateral=0.1 if args.mode == "mono" else 0.0)
 
     def it():
         for i, T in enumerate(poses):
@@ -112,6 +117,20 @@ def build_dataset(args):
 
 def main(argv=None):
     args = parse_args(argv)
+    # Explicit SIGINT -> KeyboardInterrupt, even when the inherited
+    # disposition is SIG_IGN (non-interactive shells start background jobs
+    # that way, and Python then skips its default handler). Reference parity:
+    # core/util/signal_handler_linux.cpp installs its own handler so the
+    # destructor trajectory dump always runs.
+    import signal
+
+    def _sigint(_sig, _frm):
+        raise KeyboardInterrupt
+
+    try:
+        signal.signal(signal.SIGINT, _sigint)
+    except ValueError:
+        pass  # not the main thread (embedded use) — rely on the caller
     if args.platform:
         import jax
 
@@ -209,65 +228,83 @@ def main(argv=None):
             record(s_, ts_, dt_ms)
         pend_ts.clear(); pend_l.clear(); pend_r.clear()
 
-    for ts, left, right in ds:
-        if args.frames is not None and n_done + len(pend_ts) >= args.frames:
-            break
-        # Mono batching only valid once bootstrapped (phase 2).
-        batch_ready = args.batch > 0 and (args.mode == "stereo" or getattr(vo, "phase", 2) == 2)
-        if batch_ready:
-            pend_ts.append(ts); pend_l.append(left); pend_r.append(right)
-            if len(pend_ts) >= args.batch:
-                flush_batch()
-            continue
-        t0 = time.perf_counter()
-        if args.mode == "stereo":
-            T, stats = vo.track_stereo_images(left, right, ts, timed=args.stage_timing)
+    def dump_outputs():
+        """Write every output artifact from whatever state exists — called on
+        clean completion AND on interrupt (reference parity: the SIGINT
+        handler converts the signal to an exception so the destructor still
+        dumps trajectories, core/util/signal_handler_linux.cpp +
+        mono_vo.cpp:64-127; an interrupted 4,000-frame run must not lose
+        everything)."""
+        if not vo.trajectory:
+            return None
+        traj = np.stack(vo.trajectory)
+        save_kitti_trajectory(os.path.join(args.out, "frame_poses.txt"), traj)
+        save_kitti_trajectory(
+            os.path.join(args.out, "keyframe_poses.txt"),
+            [T for _, T in vo.kf_trajectory],
+            [i for i, _ in vo.kf_trajectory],
+        )
+        slog.save_jsonl(os.path.join(args.out, "stats.jsonl"))
+        summary = slog.summary()
+        summary["fps"] = n_done / max(time.perf_counter() - t_start, 1e-9)
+        if gt is not None and len(gt) >= len(traj):
+            align = "se3" if args.mode == "stereo" else "sim3"
+            summary["ate_rmse"] = ate_rmse(traj, gt[: len(traj)], align=align)
+            if args.mode == "mono" and vo.kf_trajectory:
+                # Mono holds identity until bootstrap; report the tracked
+                # segment separately so init frames don't dominate the ATE.
+                b = vo.kf_trajectory[0][0]
+                if b + 2 < len(traj):
+                    summary["ate_rmse_post_init"] = ate_rmse(traj[b:], gt[b : len(traj)], align=align)
+            plot_trajectory(traj, gt[: len(traj)], out_path=os.path.join(args.out, "trajectory.png"))
         else:
-            T, stats = vo.track_image(left, ts, timed=args.stage_timing)
-        record(stats, ts, (time.perf_counter() - t0) * 1e3)
-        if args.debug_images and vo.state is not None:
-            from visual_odometry_ros_tpu.io.visualize import save_image
+            plot_trajectory(traj, out_path=os.path.join(args.out, "trajectory.png"))
+        return summary
 
-            dbg_dir = os.path.join(args.out, "debug")
-            os.makedirs(dbg_dir, exist_ok=True)
-            save_image(
-                os.path.join(dbg_dir, f"{n_done - 1:06d}.png"), vo.debug_overlay(left)
-            )
-    flush_batch()
+    interrupted = False
+    try:
+        for ts, left, right in ds:
+            if args.frames is not None and n_done + len(pend_ts) >= args.frames:
+                break
+            # Mono batching only valid once bootstrapped (phase 2).
+            batch_ready = args.batch > 0 and (args.mode == "stereo" or getattr(vo, "phase", 2) == 2)
+            if batch_ready:
+                pend_ts.append(ts); pend_l.append(left); pend_r.append(right)
+                if len(pend_ts) >= args.batch:
+                    flush_batch()
+                continue
+            t0 = time.perf_counter()
+            if args.mode == "stereo":
+                T, stats = vo.track_stereo_images(left, right, ts, timed=args.stage_timing)
+            else:
+                T, stats = vo.track_image(left, ts, timed=args.stage_timing)
+            record(stats, ts, (time.perf_counter() - t0) * 1e3)
+            if args.debug_images and vo.state is not None:
+                from visual_odometry_ros_tpu.io.visualize import save_image
 
-    wall = time.perf_counter() - t_start
-    if tracer is not None:
-        tracer.close()
-    if not vo.trajectory:
+                dbg_dir = os.path.join(args.out, "debug")
+                os.makedirs(dbg_dir, exist_ok=True)
+                save_image(
+                    os.path.join(dbg_dir, f"{n_done - 1:06d}.png"), vo.debug_overlay(left)
+                )
+        flush_batch()
+    except KeyboardInterrupt:
+        interrupted = True
+        print(f"\ninterrupted — dumping {n_done} processed frames to {args.out}",
+              file=sys.stderr, flush=True)
+    finally:
+        if tracer is not None:
+            tracer.close()
+        summary = dump_outputs()
+
+    if summary is None:
         raise SystemExit(
             f"no frames processed — check --root/--seq (dataset yielded 0 frames) "
             f"or --frames ({args.frames})"
         )
-    traj = np.stack(vo.trajectory)
-    save_kitti_trajectory(os.path.join(args.out, "frame_poses.txt"), traj)
-    save_kitti_trajectory(
-        os.path.join(args.out, "keyframe_poses.txt"),
-        [T for _, T in vo.kf_trajectory],
-        [i for i, _ in vo.kf_trajectory],
-    )
-    slog.save_jsonl(os.path.join(args.out, "stats.jsonl"))
-
-    summary = slog.summary()
-    summary["fps"] = n_done / wall
-    if gt is not None and len(gt) >= len(traj):
-        align = "se3" if args.mode == "stereo" else "sim3"
-        summary["ate_rmse"] = ate_rmse(traj, gt[: len(traj)], align=align)
-        if args.mode == "mono" and vo.kf_trajectory:
-            # Mono holds identity until bootstrap; report the tracked segment
-            # separately so init frames don't dominate the ATE.
-            b = vo.kf_trajectory[0][0]
-            if b + 2 < len(traj):
-                summary["ate_rmse_post_init"] = ate_rmse(traj[b:], gt[b : len(traj)], align=align)
-        plot_trajectory(traj, gt[: len(traj)], out_path=os.path.join(args.out, "trajectory.png"))
-    else:
-        plot_trajectory(traj, out_path=os.path.join(args.out, "trajectory.png"))
-
     print({k: (round(v, 4) if isinstance(v, float) else v) for k, v in summary.items()})
+    if interrupted:
+        raise SystemExit(130)
     return summary
 
 

@@ -232,12 +232,19 @@ def render_md():
         "| platform | kernels | frames | dist (m) | stereo ATE (m) | stereo ATE %dist | stereo RPE t (m) | stereo RPE r (deg) | mono ATE sim3 (m) | mono ATE %dist |",
         "|---|---|---|---|---|---|---|---|---|---|",
     ]
+    def fmt(v, pct=False):
+        # Absent/diverged metrics render as n/a, never literal "None"
+        # (r3 ADVICE low).
+        if v is None:
+            return "n/a"
+        return f"{v}%" if pct else f"{v}"
+
     for plat, rec in sorted(records.items()):
         s, m = rec["stereo"], rec["mono"]
         lines.append(
             f"| {plat} | {'pallas' if rec['use_pallas'] else 'jnp'} | {rec['frames']} "
-            f"| {rec['distance_m']} | {s['ate_rmse_m']} | {s['ate_pct_of_dist']}% "
-            f"| {s['rpe_trans_m']} | {s['rpe_rot_deg']} | {m['ate_rmse_sim3_m']} | {m['ate_pct_of_dist']}% |"
+            f"| {rec['distance_m']} | {fmt(s['ate_rmse_m'])} | {fmt(s['ate_pct_of_dist'], True)} "
+            f"| {fmt(s['rpe_trans_m'])} | {fmt(s['rpe_rot_deg'])} | {fmt(m['ate_rmse_sim3_m'])} | {fmt(m['ate_pct_of_dist'], True)} |"
         )
     if {"cpu"} < set(records) or len(records) >= 2:
         plats = [p for p in records if p != "cpu"]

@@ -66,6 +66,10 @@ def ate_rmse(est_poses: np.ndarray, gt_poses: np.ndarray, align: str = "sim3") -
     """
     p_est = np.asarray([T[:3, 3] for T in est_poses])
     p_gt = np.asarray([T[:3, 3] for T in gt_poses])
+    if not np.isfinite(p_est).all():
+        # A diverged run must report NaN (consumers render it as null/n-a),
+        # not crash the harness inside the alignment SVD.
+        return float("nan")
     if align == "sim3":
         s, R, t = umeyama_alignment(p_est, p_gt, with_scale=True)
         p_al = (s * (R @ p_est.T)).T + t

@@ -190,7 +190,10 @@ class MonoVO:
         xn0 = cam_mod.pixel_to_normalized(self.cam, pts0)
         xn1 = cam_mod.pixel_to_normalized(self.cam, pts1)
         res = EP.estimate_essential_ransac(
-            xn0, xn1, valid, key, thresh_px=self.cfg.motion.thres_5p_error, focal=self.fx
+            xn0, xn1, valid, key, thresh_px=self.cfg.motion.thres_5p_error, focal=self.fx,
+            # Inlier floor scales with detection capacity (tiny rigs detect
+            # ~bin-count features; the default 30 would reject their solves).
+            min_inliers=max(16, self.N // 16),
         )
         T10 = geo.rt_to_se3(res.R_10, res.t_10)  # ||t|| = 1 (scale convention)
         X0, X1 = TRI.triangulate(xn0, xn1, T10)
@@ -974,7 +977,11 @@ class MonoVO:
             # two consecutive frames with no flow gate at all
             # (mono_vo.cpp:525-696).
             span = int(self.state.frame_id) - 1
-            ready = int(n_ok) > 60 and (
+            # Survivor floor scales with detection capacity: tiny rigs with a
+            # g x g bin grid can only ever detect ~g^2 features, so an
+            # absolute 60 would wedge them in phase 1 forever.
+            n_min_boot = max(24, self.N // 8)
+            ready = int(n_ok) > n_min_boot and (
                 med_disp > 20.0 or (span >= 8 and med_disp > 6.0)
             )
             if ready:
@@ -986,7 +993,7 @@ class MonoVO:
                     stats["n_landmarks"] = int(n_lm)
                     stats["keyframe"] = True
                     self.kf_trajectory.append((stats["frame"], np.asarray(self.state.T_wc)))
-            elif int(n_ok) <= 60:
+            elif int(n_ok) <= n_min_boot:
                 # Track starvation before bootstrap: re-anchor the init epoch
                 # at the current frame (fresh detections, span reset). Without
                 # this a failed anchor permanently wedges phase 1.

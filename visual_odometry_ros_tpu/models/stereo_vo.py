@@ -51,6 +51,7 @@ class StereoVOState(NamedTuple):
     arena: A.LandmarkArena
     ring: A.KeyframeRing
     pyr_prev: tuple  # previous left gradient pyramid ((img, gx, gy), ...)
+    img_r: jax.Array  # previous RIGHT level-0 image (keyframe-time stereo verify)
     frame_id: jax.Array  # int32
     fail_count: jax.Array  # int32 — consecutive frames with failed pose
 
@@ -147,6 +148,7 @@ class StereoVO:
             arena=A.make_arena(self.M),
             ring=A.make_ring(self.K, self.N),
             pyr_prev=pyr,
+            img_r=jnp.zeros_like(pyr[0][0]),
             frame_id=jnp.asarray(0, jnp.int32),
             fail_count=jnp.asarray(0, jnp.int32),
         )
@@ -363,6 +365,7 @@ class StereoVO:
             arena=arena,
             ring=ring,
             pyr_prev=pyr_l,
+            img_r=pyr_r[0][0],
             frame_id=jnp.asarray(1, jnp.int32),
         )
 
@@ -580,6 +583,7 @@ class StereoVO:
             tracks_r_valid=tracks_r_valid,
             arena=arena,
             pyr_prev=pyr_l,
+            img_r=pyr_r[0][0],
             frame_id=state.frame_id + 1,
             fail_count=fail_count,
         )
@@ -723,6 +727,20 @@ class StereoVO:
             & (Xr[:, 2] > 0.0)
             & (Xl[:, 2] < self.cfg.map.max_depth)
         )
+        # Depth-overwrite gate (r4): the 1 px both-view check is pure SELF-
+        # consistency — a stereo match that drifted onto a repeated-texture
+        # alias is self-consistent and would lock its wrong depth into the
+        # arena here, eroding the map a little at every keyframe (measured:
+        # bad-depth fraction 0.06 -> 0.19 across three keyframes before the
+        # f62 collapse). Re-verify the match against the full-res cost
+        # profile exactly like a birth.
+        from ..ops import stereo_disparity as SD
+
+        disp_rt = tracks.pts[:, 0] - state.tracks_r[:, 0]
+        ok_v, _ = SD.verify_disparity_zncc(
+            state.pyr_prev[0][0], state.img_r, tracks.pts, disp_rt, good
+        )
+        good = good & ok_v
         Xw_new = geo.transform_points(state.T_wc, Xl)
         arena = state.arena._replace(
             Xw=A.onehot_update(state.arena.Xw, tracks.lm_idx, good, Xw_new),

@@ -148,31 +148,79 @@ def verify_disparity_zncc(
 
     Returns (ok [N] bool, best_score [N]).
     """
-    n_d = 2 * span // step + 1
-    deltas = jnp.arange(-span, span + step, step, dtype=jnp.float32)  # [D]
-    dgrid = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    offs = jnp.stack(
-        jnp.meshgrid(dgrid, dgrid, indexing="xy"), axis=-1
-    ).reshape(-1, 2)  # [P, 2]
+    del step  # the strip layout scans every integer delta in [-span, span]
+    deltas = jnp.arange(-span, span + 1, dtype=jnp.float32)  # [D]
 
     from ..utils import interp
 
-    patch_l, mask_l = interp.sample_patches(left, pts_l, offs)  # [N, P]
-    # Right centers: [N, D, 2]
-    ctr_r = jnp.stack(
-        [
-            pts_l[:, None, 0] - (disp[:, None] + deltas[None, :]),
-            jnp.broadcast_to(pts_l[:, None, 1], (pts_l.shape[0], n_d)),
-        ],
-        axis=-1,
-    )
-    pts_r = ctr_r[:, :, None, :] + offs[None, None, :, :]  # [N, D, P, 2]
-    patch_r, mask_r = interp.bilinear_sample(right, pts_r)
-    scores = interp.zncc(patch_l[:, None, :], patch_r, axis=-1)  # [N, D]
-    in_img = jnp.all(mask_r, axis=-1)  # [N, D]
-    scores = jnp.where(in_img, scores, -1.0)
+    # Slab loads, not point gathers (the TPU rule that shapes the Pallas KLT
+    # too): the naive per-(feature, delta) patch gather is 1.4M scalar
+    # gathers (~115 ms/frame measured); the per-feature strip of pointwise
+    # bilinear samples is still ~350k (~20 ms). Instead: pad once, pull ONE
+    # contiguous (R+1) x (W_s+1) slab per feature via vmapped dynamic_slice,
+    # and do the shared-fraction bilinear blend with four shifted slices —
+    # whole-row memory traffic + pure vector math.
+    H, W = right.shape
+    R = 2 * radius + 1
+    W_s = 2 * (span + radius) + 1
+    pad_y, pad_x = radius + 2, span + radius + 2
+    rightp = jnp.pad(right, ((pad_y, pad_y), (pad_x, pad_x)))
+    leftp = jnp.pad(left, ((pad_y, pad_y), (pad_x, pad_x)))
 
-    i0 = span // step  # index of delta = 0 (the KLT match)
+    def slabs(imgp, y0f, x0f, rows_out, cols_out):
+        """Bilinear [N, rows_out, cols_out] blocks anchored at float (y0f, x0f)
+        in UNPADDED coords; shared per-feature fraction."""
+        ay = jnp.floor(y0f)
+        ax = jnp.floor(x0f)
+        fy = (y0f - ay)[:, None, None]
+        fx = (x0f - ax)[:, None, None]
+        iy = jnp.clip(ay.astype(jnp.int32) + pad_y, 0, imgp.shape[0] - rows_out - 1)
+        ix = jnp.clip(ax.astype(jnp.int32) + pad_x, 0, imgp.shape[1] - cols_out - 1)
+        S = jax.vmap(
+            lambda y, x: jax.lax.dynamic_slice(imgp, (y, x), (rows_out + 1, cols_out + 1))
+        )(iy, ix)
+        return (
+            (1 - fy) * (1 - fx) * S[:, :-1, :-1]
+            + (1 - fy) * fx * S[:, :-1, 1:]
+            + fy * (1 - fx) * S[:, 1:, :-1]
+            + fy * fx * S[:, 1:, 1:]
+        )
+
+    patch_l = slabs(
+        leftp, pts_l[:, 1] - radius, pts_l[:, 0] - radius, R, R
+    ).reshape(pts_l.shape[0], -1)  # [N, R*R]
+    mask_l = (
+        (pts_l[:, 0] >= radius + 1)
+        & (pts_l[:, 0] <= W - radius - 2)
+        & (pts_l[:, 1] >= radius + 1)
+        & (pts_l[:, 1] <= H - radius - 2)
+    )[:, None]
+    strip = slabs(
+        rightp,
+        pts_l[:, 1] - radius,
+        pts_l[:, 0] - disp - (span + radius),
+        R,
+        W_s,
+    )  # [N, R, W_s]
+    # Coordinate-based validity per strip column (zero-padded samples must
+    # not enter the ZNCC): column j sits at u = pts_l - disp - span - radius + j.
+    u_col = (
+        pts_l[:, None, 0] - disp[:, None] - (span + radius)
+        + jnp.arange(W_s, dtype=jnp.float32)[None, :]
+    )
+    col_ok = (u_col >= 0.0) & (u_col <= W - 1.0)  # [N, W_s]
+    row_ok = (pts_l[:, 1] - radius >= 0.0) & (pts_l[:, 1] + radius <= H - 1.0)
+
+    def score_of(delta):
+        j0 = span - delta
+        win = jax.lax.slice_in_dim(strip, j0, j0 + R, axis=2)
+        m = jnp.all(jax.lax.slice_in_dim(col_ok, j0, j0 + R, axis=1), axis=-1)
+        s = interp.zncc(patch_l, win.reshape(win.shape[0], -1), axis=-1)
+        return jnp.where(m & row_ok, s, -1.0)
+
+    scores = jnp.stack([score_of(d) for d in range(-span, span + 1)], axis=-1)  # [N, D]
+
+    i0 = span  # index of delta = 0 (the KLT match)
     s_at = scores[:, i0]
     best_i = jnp.argmax(scores, axis=-1)
     best_d = deltas[best_i]

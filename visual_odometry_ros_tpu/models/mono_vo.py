@@ -402,7 +402,9 @@ class MonoVO:
         pose_ok = res.ok & sane & (n_gn >= 10)
         T10 = jnp.where(pose_ok, res.T10, T10_init)
         dT_new = geo.se3_inverse(T10)
-        T_wc_new = state.T_wc @ dT_new
+        # se3_project: per-frame composition accumulates rotation drift
+        # (see geo.so3_project docstring — the r4 det-decay collapse).
+        T_wc_new = geo.se3_project(state.T_wc @ dT_new)
 
         # Sampson gate on the estimated motion (mono_vo.cpp:955-965).
         E = EP.essential_from_rt(T10[:3, :3], T10[:3, 3] / jnp.maximum(jnp.linalg.norm(T10[:3, 3]), 1e-9))
@@ -743,7 +745,7 @@ class MonoVO:
         # than it started instead of writing a diverged window back; accept a
         # materially-improving solve even above the absolute gate so a bad
         # window cannot livelock BA.
-        improved = res.mean_err_px <= res.mean_err0_px * 0.98
+        improved = (res.mean_err_px <= res.mean_err0_px * 0.98) & (res.mean_err_px < 20.0)
         accept = jnp.isfinite(res.mean_err_px) & (
             improved
             | ((res.mean_err_px <= res.mean_err0_px * 1.05 + 0.1) & (res.mean_err_px < 8.0))

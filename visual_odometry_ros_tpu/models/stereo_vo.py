@@ -391,11 +391,27 @@ class StereoVO:
         # at landmark projections under that pose locks repeated-texture
         # features onto the alias CONSISTENT WITH THE WRONG PRIOR — garbage
         # correspondences that then admit no pose at all (the r3 recovery
-        # livelock: GN converged fine but to 12 px mean residual). A zero-
-        # flow pixel prior is pose-free and lands within the coarse-level
-        # basin for ordinary frame rates; use it until the pose re-locks.
+        # livelock: GN converged fine but to 12 px mean residual). The pose-
+        # free fallback seed is the MEASURED dominant image shift (coarsest-
+        # level ZNCC alignment), not zero flow: on self-similar texture a
+        # zero seed a few px off the true flow locks every track onto a
+        # local alias (the r4 137-frame post-re-bootstrap livelock — the
+        # blackout's rotational drift projects to a near-uniform shift that
+        # the alignment measures directly).
+        from ..ops.pyramid import global_shift_zncc
+
+        lvl_c = len(pyr_l) - 1
+        gshift, _gs = global_shift_zncc(state.pyr_prev[lvl_c][0], pyr_l[lvl_c][0])
+        gshift = gshift * (2.0 ** lvl_c)
         blackout = state.fail_count > 0
-        prior_pts = jnp.where(has_3d[:, None] & ~blackout, prior_pts, tracks.pts)
+        # dT == identity means "no velocity estimate yet" (first frames,
+        # frame after recovery) — the projection prior then degenerates to
+        # zero flow; the measured shift must take over there too.
+        dT_fresh = jnp.sum(jnp.abs(state.dT - jnp.eye(4, dtype=state.dT.dtype))) < 1e-6
+        prior_trusted = has_3d & ~blackout & ~dT_fresh
+        prior_pts = jnp.where(
+            prior_trusted[:, None], prior_pts, tracks.pts + gshift[None, :]
+        )
         scale_prior = jnp.where(blackout, jnp.ones_like(scale_prior), scale_prior)
 
         # [4] forward KLT with prior (pyramid of the previous frame is cached
@@ -466,7 +482,9 @@ class StereoVO:
         # (the reference throws here; a running system can't).
         T10 = jnp.where(pose_ok, res.T10, T10_init)
         dT_new = geo.se3_inverse(T10)
-        T_wc_new = state.T_wc @ dT_new
+        # se3_project: per-frame composition is the other pose-drift
+        # accumulation path (see geo.so3_project docstring).
+        T_wc_new = geo.se3_project(state.T_wc @ dT_new)
 
         # [7] outlier gate: pose-GN reprojection inliers when the pose is
         # trusted. On failure, KEEP every KLT-consistent track: the prior
@@ -783,8 +801,11 @@ class StereoVO:
         # bad window is accepted even above the absolute gate — otherwise a
         # >8 px window is frozen and BA livelocks re-rejecting it forever.
         improved = res.mean_err_px <= res.mean_err0_px * 0.98
+        # Absolute ceiling on the improved-clause too: "improved" from a
+        # 305 px window to 298 px is still garbage poses — writing it back
+        # detonated the trajectory at r4's f69 (ba_err 298 accepted).
         accept = jnp.isfinite(res.mean_err_px) & (
-            improved
+            (improved & (res.mean_err_px < 20.0))
             | ((res.mean_err_px <= res.mean_err0_px * 1.05 + 0.1) & (res.mean_err_px < 8.0))
         )
         T_cw_res = jnp.where(accept, res.T_cw, gathered["T_cw"])

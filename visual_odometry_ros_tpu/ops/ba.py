@@ -392,9 +392,15 @@ def ba_solve_impl(
         iter_cond, iteration, (jnp.int32(0), T_cr, Xr, jnp.array(False))
     )
 
-    # Write back to world frame (reference :630-718).
-    T_cw_new = T_cr @ T_rw
-    T_cw_new = jnp.where(problem.kf_valid[:, None, None], T_cw_new, problem.T_cw)
+    # Write back to world frame (reference :630-718). Two erosion guards
+    # (the r4 det-0.915 collapse — see geo.so3_project docstring):
+    #   - OPTIMIZED poses are re-orthonormalized after the anchor round-trip;
+    #   - FIXED/invalid poses return BIT-IDENTICAL — previously they too
+    #     passed through T_cw @ T_wr @ T_rw and silently picked up the
+    #     round-trip epsilon at every single BA.
+    T_cw_new = jnp.where(
+        opt_mask[:, None, None], geo.se3_project(T_cr @ T_rw), problem.T_cw
+    )
     Xw_new = geo.transform_points(T_wr, Xr)
     Xw_new = jnp.where(lm_active[:, None], Xw_new, problem.Xw)
 

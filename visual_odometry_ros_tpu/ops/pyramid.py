@@ -124,3 +124,38 @@ def build_pyramid_with_gradients(img: jax.Array, levels: int, with_gradients: bo
 def box_filter(img: jax.Array, radius: int) -> jax.Array:
     k = np.ones((2 * radius + 1,), np.float32) / (2 * radius + 1)
     return _sep_conv(img, k, k)
+
+
+def global_shift_zncc(prev: jax.Array, curr: jax.Array, radius: int = 8):
+    """Dominant whole-image translation prev->curr by dense ZNCC over integer
+    2-D shifts (run it on the COARSEST pyramid level and scale up).
+
+    Purpose (r4): the frame-to-frame KLT fallback seed when no trusted
+    velocity prior exists (pose blackout, post-re-bootstrap) used to be
+    zero flow; on self-similar texture a seed a few px off locks every
+    track onto a local alias and the pose never re-converges (the 137-
+    frame fail run in the 200-frame hard sequence). Rotation — the
+    dominant blackout drift — projects to a near-uniform image shift,
+    exactly what this measures. Pure shifts + reductions: VPU work.
+
+    Returns (shift [2] float32 = (du, dv) in this level's pixels, score).
+    """
+    H, W = prev.shape
+    # Central crop of prev compared against shifted crops of curr.
+    cy, cx = radius, radius
+    a = jax.lax.slice(prev, (cy, cx), (H - radius, W - radius))
+    a = a - jnp.mean(a)
+    ha, wa = a.shape
+    an = jnp.sqrt(jnp.sum(a * a) + 1e-6)
+
+    def score(dy, dx):
+        b = jax.lax.slice(curr, (cy + dy, cx + dx), (cy + dy + ha, cx + dx + wa))
+        b = b - jnp.mean(b)
+        return jnp.sum(a * b) / (an * jnp.sqrt(jnp.sum(b * b) + 1e-6))
+
+    shifts = [(dy, dx) for dy in range(-radius, radius + 1)
+              for dx in range(-radius, radius + 1)]
+    scores = jnp.stack([score(dy, dx) for dy, dx in shifts])
+    best = jnp.argmax(scores)
+    offs = jnp.asarray(shifts, jnp.float32)  # [(dy, dx)]
+    return offs[best][::-1], scores[best]  # (du, dv)

@@ -207,6 +207,9 @@ class MonoVO:
         arena = A.make_arena(self.M)
         slots, slot_ok = A.allocate_slots(~arena.alive, self.N)
         ok_new = ok3 & slot_ok
+        # Birth descriptors at the current observation (relocalization table).
+        boot_dw, boot_desc_ok = F.orb_descriptors(state.pyr_prev[0][0], pts1)
+        boot_desc_u8 = F.desc_to_u8(boot_dw)
         arena = arena._replace(
             Xw=A.onehot_update(arena.Xw, slots, ok_new, X0),  # world = first cam frame
             alive=A.onehot_update(arena.alive, slots, ok_new, op="or"),
@@ -230,6 +233,8 @@ class MonoVO:
                 jnp.concatenate([xn0, jnp.ones((self.N, 1))], -1)
                 / jnp.maximum(jnp.linalg.norm(jnp.concatenate([xn0, jnp.ones((self.N, 1))], -1), axis=-1, keepdims=True), 1e-9),
             ),
+            desc=A.onehot_update(arena.desc, slots, ok_new & boot_desc_ok, boot_desc_u8),
+            desc_valid=A.onehot_update(arena.desc_valid, slots, ok_new & boot_desc_ok, op="or"),
         )
         tracks = state.tracks._replace(lm_idx=slots, valid=ok_new)
 
@@ -293,6 +298,9 @@ class MonoVO:
             jnp.full((n_new_cap,), self.cfg.map.init_depth, jnp.float32),
             depth_min=self.cfg.map.min_depth,
         )
+        # Birth descriptors for relocalization (see stereo twin).
+        _dw, _desc_ok = F.orb_descriptors(img, new_pts)
+        _desc_u8 = F.desc_to_u8(_dw)
         arena = arena._replace(
             alive=A.onehot_update(arena.alive, slots, ok_new, op="or"),
             tracked=A.onehot_update(arena.tracked, slots, ok_new, op="or"),
@@ -313,6 +321,8 @@ class MonoVO:
             ),
             parallax_sum=A.onehot_update(arena.parallax_sum, slots, ok_new, zeros_n),
             parallax_n=A.onehot_update(arena.parallax_n, slots, ok_new, jnp.zeros((n_new_cap,), jnp.int32)),
+            desc=A.onehot_update(arena.desc, slots, ok_new & _desc_ok, _desc_u8),
+            desc_valid=A.onehot_update(arena.desc_valid, slots, ok_new & _desc_ok, op="or"),
         )
         free_lane = ~tracks.valid
         lanes, lane_ok = A.allocate_slots(free_lane, n_new_cap)
@@ -594,6 +604,7 @@ class MonoVO:
             lm_X, tracks.pts, cand, key, self.fx, self.fy, self.cx, self.cy,
             thresh_px=1.5 * self.pose_params.reproj_thresh,
             n_hypotheses=128, min_inlier_ratio=0.3,
+            T_init=geo.se3_inverse(state.T_wc),
         )
         T_wc_pnp = geo.se3_inverse(pnp.T_cw)
         jump = jnp.linalg.norm(T_wc_pnp[:3, 3] - state.T_wc[:3, 3])

@@ -301,6 +301,13 @@ class StereoVO:
         ok_r = ok_r & ok_v
         Xc, ok3 = self._triangulate_stereo(new_pts, disp, new_ok & ok_r)
         Xw = geo.transform_points(T_wc, Xc)
+        # Birth descriptors (rotated BRIEF) for descriptor-assisted
+        # relocalization (reference feature_extractor.cpp:321-357): after a
+        # total track blackout the 2D-track PnP has nothing to match — the
+        # descriptor table is what lets recovery re-associate fresh
+        # detections with the EXISTING map instead of re-bootstrapping.
+        desc_w, desc_ok = F.orb_descriptors(pyr_l[0][0], new_pts)
+        desc_u8 = F.desc_to_u8(desc_w)
 
         # Allocate arena slots for valid new landmarks. All writes go through
         # one-hot contractions (A.onehot_update) — see that docstring for the
@@ -325,6 +332,8 @@ class StereoVO:
             ),
             parallax_sum=A.onehot_update(arena.parallax_sum, slots, ok_new, zeros_n),
             parallax_n=A.onehot_update(arena.parallax_n, slots, ok_new, jnp.zeros((n_new_cap,), jnp.int32)),
+            desc=A.onehot_update(arena.desc, slots, ok_new & desc_ok, desc_u8),
+            desc_valid=A.onehot_update(arena.desc_valid, slots, ok_new & desc_ok, op="or"),
         )
 
         # Merge into free track lanes.
@@ -634,12 +643,47 @@ class StereoVO:
         pnp = PNP.pnp_ransac(
             lm_X, pts1, cand, key, self.fx, self.fy, self.cx, self.cy,
             thresh_px=1.5 * self.pose_params.reproj_thresh,
-            n_hypotheses=128, min_inlier_ratio=0.3,
+            n_hypotheses=128, min_inlier_ratio=0.3, T_init=T_cw_prior,
         )
         T_wc_pnp = geo.se3_inverse(pnp.T_cw)
         jump = jnp.linalg.norm(T_wc_pnp[:3, 3] - state.T_wc[:3, 3])
-        pnp_good = pnp.ok & (pnp.n_inliers >= 15) & (
-            jump <= 2.0 * m.recover_after * m.max_step_abs
+        max_jump = 2.0 * m.recover_after * m.max_step_abs
+        pnp_good = pnp.ok & (pnp.n_inliers >= 15) & (jump <= max_jump)
+
+        # Tier 2 — descriptor relocalization (reference ORB+Hamming,
+        # feature_extractor.cpp:321-357): after a real blackout the surviving
+        # 2D tracks are gone, so tier 1 has nothing to PnP (r3: degenerated
+        # to re-bootstrap 46x/200 frames). Match FRESH detections against
+        # the landmark birth-descriptor table and PnP the associations —
+        # pose re-locks against the EXISTING map, keeping absolute accuracy.
+        det_pts, det_ok = F.detect_features(
+            pyr_l[0][0],
+            jnp.zeros((self.N, 2), jnp.float32),
+            jnp.zeros((self.N,), bool),
+            gh=self.cfg.extractor.n_bins_v,
+            gw=self.cfg.extractor.n_bins_u,
+            n_max=self.N // 2,
+            fast_thresh=self.cfg.extractor.thres_fastscore,
+            score_min=self.cfg.extractor.score_min,
+        )
+        dw, dv = F.orb_descriptors(pyr_l[0][0], det_pts)
+        d_u8 = F.desc_to_u8(dw)
+        lm_ok = state.arena.alive & state.arena.triangulated & state.arena.desc_valid
+        midx, m_ok = F.match_descriptors(
+            d_u8, det_ok & dv, state.arena.desc, lm_ok, max_dist=60
+        )
+        Xw_m = state.arena.Xw[jnp.maximum(midx, 0)]
+        key2 = jax.random.fold_in(key, 1)
+        pnp_d = PNP.pnp_ransac(
+            Xw_m, det_pts, m_ok, key2, self.fx, self.fy, self.cx, self.cy,
+            thresh_px=2.0 * self.pose_params.reproj_thresh,
+            n_hypotheses=128, min_inlier_ratio=0.3, T_init=T_cw_prior,
+        )
+        T_wc_d = geo.se3_inverse(pnp_d.T_cw)
+        desc_good = (
+            pnp_d.ok
+            & (pnp_d.n_inliers >= 15)
+            & (jnp.linalg.norm(T_wc_d[:3, 3] - state.T_wc[:3, 3]) <= max_jump)
         )
 
         def relocalize(s):
@@ -682,8 +726,20 @@ class StereoVO:
                 fail_count=jnp.asarray(0, jnp.int32),
             )
 
-        state = jax.lax.cond(pnp_good, relocalize, rebootstrap, state)
-        mode = jnp.where(pnp_good, 1, 2).astype(jnp.int32)
+        # Tier order: 1) track-PnP keeps live tracks; 2) descriptor-PnP
+        # corrects the pose against the existing map, then re-bootstraps
+        # fresh tracks AT that corrected pose (mode 3); 3) plain
+        # re-bootstrap at the dead-reckoned pose (mode 2).
+        def desc_then_reboot(s):
+            return rebootstrap(s._replace(T_wc=T_wc_d))
+
+        state = jax.lax.cond(
+            pnp_good,
+            relocalize,
+            lambda s: jax.lax.cond(desc_good, desc_then_reboot, rebootstrap, s),
+            state,
+        )
+        mode = jnp.where(pnp_good, 1, jnp.where(desc_good, 3, 2)).astype(jnp.int32)
         return state, mode
 
     def _steady_step_impl(self, state: StereoVOState, img_l, img_r):

@@ -235,6 +235,17 @@ def orb_descriptors(img: jax.Array, pts: jax.Array):
     return packed, valid
 
 
+def desc_to_u8(packed: jax.Array) -> jax.Array:
+    """[N, 8] uint32 packed descriptors -> [N, 32] uint8 bytes.
+
+    Byte layout is little-endian per word; Hamming distance is invariant to
+    the repack. uint8 storage exists so the arena's one-hot-einsum scatter
+    (float32 contraction) stays exact — uint32 words would be rounded."""
+    shifts = jnp.arange(4, dtype=jnp.uint32) * 8
+    b = (packed[..., None] >> shifts[None, None, :]) & jnp.uint32(0xFF)
+    return b.reshape(packed.shape[0], 32).astype(jnp.uint8)
+
+
 @jax.jit
 def hamming_distance_matrix(da: jax.Array, db: jax.Array) -> jax.Array:
     """[N, 8] x [M, 8] uint32 -> [N, M] int32 Hamming distances

@@ -93,15 +93,34 @@ def pnp_ransac(
     n_hypotheses: int = 64,
     min_inlier_ratio: float = 0.6,
     gn_params: PG.PoseGNParams = PG.PoseGNParams(max_iters=30),
+    T_init: jax.Array | None = None,
 ) -> PnPResult:
-    """RANSAC linear-PnP + GN polish. Xw: [N, 3] world; pts: [N, 2] pixels."""
+    """RANSAC linear-PnP + GN polish. Xw: [N, 3] world; pts: [N, 2] pixels.
+
+    T_init (optional [4, 4] T_cw prior): added as one more scored hypothesis.
+    The 12-parameter linear DLT is DEGENERATE for coplanar points (homography
+    ambiguity) — on planar scenes every sampled hypothesis can be garbage
+    while a GN descent from a decent prior converges cleanly; the reference's
+    cv::EPNP handles planarity inside its control-point formulation, the
+    prior hypothesis is our equivalent escape hatch (relocalization always
+    has the dead-reckoned pose available).
+    """
     N = Xw.shape[0]
     K = n_hypotheses
     xn = jnp.stack([(pts[:, 0] - cx) / fx, (pts[:, 1] - cy) / fy], axis=-1)
 
-    logits = jnp.where(valid, 0.0, -1e9)
-    idx = jax.random.categorical(key, logits[None, :], shape=(K, 6))
+    # Minimal sets WITHOUT replacement: with few valid candidates, sampling
+    # with replacement yields duplicate rows (<6 distinct points) for most
+    # sets, starving the hypothesis pool.
+    p = valid.astype(jnp.float32)
+    p = p / jnp.maximum(jnp.sum(p), 1.0)
+    keys = jax.random.split(key, K)
+    idx = jax.vmap(
+        lambda k: jax.random.choice(k, N, shape=(6,), replace=False, p=p)
+    )(keys)
     T_h = _dlt_pnp(Xw[idx], xn[idx])  # [K, 4, 4]
+    if T_init is not None:
+        T_h = jnp.concatenate([T_h, T_init[None]], axis=0)
 
     # Score: reprojection error of all points under each hypothesis.
     Xc = jnp.einsum("kij,nj->kni", T_h[:, :3, :3], Xw, precision=_HI) + T_h[:, None, :3, 3]
@@ -130,6 +149,27 @@ def pnp_ransac(
         gn_params,
     )
     T_final = jnp.where(res.ok, res.T10, T_h[best])
+    if T_init is not None:
+        # Polish the prior over ALL valid points too (its 2x gate may be
+        # empty if the prior has drifted, but the basin often still holds on
+        # planar scenes where every sampled hypothesis is degenerate), then
+        # keep whichever final pose explains more points.
+        res_p = PG.pose_only_gn_mono(
+            Xw, pts, valid, fx, fy, cx, cy, T_init, gn_params
+        )
+        T_prior = jnp.where(jnp.all(jnp.isfinite(res_p.T10)), res_p.T10, T_init)
+
+        def count_inl(T):
+            Xc_ = geo.transform_points(T, Xw)
+            z_ = Xc_[..., 2]
+            iz_ = 1.0 / jnp.where(jnp.abs(z_) < 1e-6, 1e-6, z_)
+            e_ = jnp.sqrt(
+                (Xc_[..., 0] * iz_ * fx + cx - pts[:, 0]) ** 2
+                + (Xc_[..., 1] * iz_ * fy + cy - pts[:, 1]) ** 2
+            )
+            return jnp.sum((e_ < thresh_px) & (z_ > 0.01) & valid)
+
+        T_final = jnp.where(count_inl(T_prior) > count_inl(T_final), T_prior, T_final)
 
     # Final inlier mask at the base threshold.
     Xcf = geo.transform_points(T_final, Xw)

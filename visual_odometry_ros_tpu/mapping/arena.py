@@ -45,9 +45,11 @@ class LandmarkArena(NamedTuple):
     parallax_min: jax.Array  # [M] rad (1e9 until first sample; landmark.cpp:126-127)
     parallax_sum: jax.Array  # [M] rad — running sum; avg = sum / parallax_n
     parallax_n: jax.Array  # [M] int32 — #parallax samples (landmark.cpp:129-132)
-    desc: jax.Array  # [M, 32] uint8 — 256-bit rotated-BRIEF at birth (reloc)
-    # (uint8 bytes are f32-exact, so the one-hot-einsum scatter path works;
-    # packed uint32 words would be corrupted by the float contraction.)
+    desc: jax.Array  # [M, 32] int32 bytes — 256-bit rotated-BRIEF at birth (reloc)
+    # (byte values are f32-exact so the one-hot-einsum scatter path works —
+    # packed uint32 words would be corrupted by the float contraction; int32
+    # storage because sub-word dtypes pessimize TPU layouts: a uint8 table
+    # cost ~25 ms/frame of relayout inside the fused update stage.)
     desc_valid: jax.Array  # [M] bool
 
     @property
@@ -79,7 +81,7 @@ def make_arena(capacity: int) -> LandmarkArena:
         parallax_min=jnp.full((capacity,), PARALLAX_MIN_INIT, jnp.float32),
         parallax_sum=z1,
         parallax_n=jnp.zeros((capacity,), jnp.int32),
-        desc=jnp.zeros((capacity, 32), jnp.uint8),
+        desc=jnp.zeros((capacity, 32), jnp.int32),
         desc_valid=jnp.zeros((capacity,), bool),
     )
 

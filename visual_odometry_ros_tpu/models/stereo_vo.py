@@ -306,8 +306,13 @@ class StereoVO:
         # total track blackout the 2D-track PnP has nothing to match — the
         # descriptor table is what lets recovery re-associate fresh
         # detections with the EXISTING map instead of re-bootstrapping.
-        desc_w, desc_ok = F.orb_descriptors(pyr_l[0][0], new_pts)
+        # optimization_barrier: composed into the update-stage graph, XLA
+        # fuses the descriptor gathers into a pathological loop (~25 ms/frame
+        # vs 0.06 ms standalone); the barrier keeps them a standalone fusion.
+        img0_b, pts_b = jax.lax.optimization_barrier((pyr_l[0][0], new_pts))
+        desc_w, desc_ok = F.orb_descriptors(img0_b, pts_b)
         desc_u8 = F.desc_to_u8(desc_w)
+        desc_u8, desc_ok = jax.lax.optimization_barrier((desc_u8, desc_ok))
 
         # Allocate arena slots for valid new landmarks. All writes go through
         # one-hot contractions (A.onehot_update) — see that docstring for the

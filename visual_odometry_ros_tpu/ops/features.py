@@ -216,34 +216,97 @@ def orb_orientation(img: jax.Array, pts: jax.Array) -> jax.Array:
     return jnp.arctan2(m01, m10)
 
 
+# Discretized rotated BRIEF patterns (real ORB does exactly this: the pattern
+# is pre-rotated at 2pi/30 steps and looked up by quantized angle —
+# ORB_impl pattern tables). 16 bins keeps the worst-case angular error
+# (11.25 deg) well inside BRIEF's tolerance while making the slab pick
+# indices COMPILE-TIME constants.
+_N_ROT = 16
+_SLAB_R = 22  # slab half-size: 15*sqrt(2) rotated pattern + round-off
+_SLAB_S = 2 * _SLAB_R + 1
+
+
+def _rotated_pair_indices():
+    idx = np.zeros((_N_ROT, 2, 256, 2), np.int32)  # [bin, a/b, pair, (y, x)]
+    for b in range(_N_ROT):
+        th = 2.0 * np.pi * b / _N_ROT
+        c, s = np.cos(th), np.sin(th)
+        R = np.array([[c, -s], [s, c]], np.float32)
+        for k in range(2):
+            r = _BRIEF_PAIRS[:, k, :] @ R.T  # [256, 2] (x, y)
+            xi = np.clip(np.round(r[:, 0]).astype(np.int32) + _SLAB_R, 0, _SLAB_S - 1)
+            yi = np.clip(np.round(r[:, 1]).astype(np.int32) + _SLAB_R, 0, _SLAB_S - 1)
+            idx[b, k, :, 0] = yi
+            idx[b, k, :, 1] = xi
+    return idx
+
+
+_ROT_IDX = _rotated_pair_indices()
+_CENT_W = np.zeros((_SLAB_S, _SLAB_S, 2), np.float32)  # centroid moment weights
+_CENT_W[_SLAB_R - 15 : _SLAB_R + 16, _SLAB_R - 15 : _SLAB_R + 16, 0] = np.where(_circ, _xx, 0)
+_CENT_W[_SLAB_R - 15 : _SLAB_R + 16, _SLAB_R - 15 : _SLAB_R + 16, 1] = np.where(_circ, _yy, 0)
+
+
 @jax.jit
 def orb_descriptors(img: jax.Array, pts: jax.Array):
-    """[N, 8] uint32 packed 256-bit rotated-BRIEF descriptors + validity."""
-    theta = orb_orientation(img, pts)
-    c, s = jnp.cos(theta), jnp.sin(theta)
-    R = jnp.stack([jnp.stack([c, -s], -1), jnp.stack([s, c], -1)], -2)  # [N, 2, 2]
-    pairs = jnp.asarray(_BRIEF_PAIRS)  # [256, 2, 2]
-    rot = jnp.einsum("nij,pkj->npki", R, pairs)  # [N, 256, 2, 2]
-    pa = pts[:, None, :] + rot[:, :, 0, :]
-    pb = pts[:, None, :] + rot[:, :, 1, :]
-    Ia, ma = bilinear_sample(img, pa)
-    Ib, mb = bilinear_sample(img, pb)
-    bits = (Ia < Ib).astype(jnp.uint32)  # [N, 256]
+    """[N, 8] uint32 packed 256-bit rotated-BRIEF descriptors + validity.
+
+    TPU shape (r4): ONE contiguous slab per feature via vmapped
+    dynamic_slice; the intensity-centroid orientation is a masked reduction
+    over the slab, and the rotation is a quantized-angle LOOKUP into
+    pre-rotated integer pattern tables (exactly how reference ORB rotates
+    its pattern) — so every pick is a compile-time-constant index. The
+    earlier per-point bilinear gathers fused pathologically inside the
+    update stage (~25 ms/frame; slab form ~2 ms)."""
+    H, W = img.shape
+    imgp = jnp.pad(img, ((_SLAB_R, _SLAB_R + 1), (_SLAB_R, _SLAB_R + 1)))
+    ai = jnp.round(pts).astype(jnp.int32)  # integer center (subpixel irrelevant)
+    ay = jnp.clip(ai[:, 1], 0, H - 1)  # + _SLAB_R pad - _SLAB_R offset
+    ax = jnp.clip(ai[:, 0], 0, W - 1)
+    slab = jax.vmap(
+        lambda y, x: jax.lax.dynamic_slice(imgp, (y, x), (_SLAB_S, _SLAB_S))
+    )(ay, ax)  # [N, S, S] centered at the feature
+
+    # Orientation: moments as one reduction against constant weight maps.
+    cw = jnp.asarray(_CENT_W)
+    m10 = jnp.einsum("nyx,yx->n", slab, cw[..., 0])
+    m01 = jnp.einsum("nyx,yx->n", slab, cw[..., 1])
+    theta = jnp.arctan2(m01, m10)
+    bin_f = jnp.round(theta / (2.0 * jnp.pi) * _N_ROT).astype(jnp.int32) % _N_ROT
+
+    # All rotation variants from constant indices, then per-feature select.
+    flat = slab.reshape(slab.shape[0], -1)  # [N, S*S]
+    ridx = _ROT_IDX[..., 0] * _SLAB_S + _ROT_IDX[..., 1]  # [B, 2, 256]
+    Ia = flat[:, jnp.asarray(ridx[:, 0].reshape(-1))].reshape(-1, _N_ROT, 256)
+    Ib = flat[:, jnp.asarray(ridx[:, 1].reshape(-1))].reshape(-1, _N_ROT, 256)
+    bits_all = Ia < Ib  # [N, B, 256]
+    sel = bin_f[:, None] == jnp.arange(_N_ROT, dtype=jnp.int32)[None, :]
+    bits = jnp.any(bits_all & sel[:, :, None], axis=1).astype(jnp.uint32)  # [N, 256]
+
     words = bits.reshape(pts.shape[0], 8, 32)
-    packed = jnp.sum(words << jnp.arange(32, dtype=jnp.uint32)[None, None, :], axis=-1, dtype=jnp.uint32)
-    valid = jnp.all(ma & mb, axis=1)
+    packed = jnp.sum(
+        words << jnp.arange(32, dtype=jnp.uint32)[None, None, :], axis=-1, dtype=jnp.uint32
+    )
+    # Valid = full pattern support inside the image (zero-padded slabs would
+    # bias bits near the border).
+    valid = (
+        (pts[:, 0] >= _SLAB_R)
+        & (pts[:, 0] < W - _SLAB_R)
+        & (pts[:, 1] >= _SLAB_R)
+        & (pts[:, 1] < H - _SLAB_R)
+    )
     return packed, valid
 
 
 def desc_to_u8(packed: jax.Array) -> jax.Array:
-    """[N, 8] uint32 packed descriptors -> [N, 32] uint8 bytes.
+    """[N, 8] uint32 packed descriptors -> [N, 32] int32 bytes.
 
     Byte layout is little-endian per word; Hamming distance is invariant to
     the repack. uint8 storage exists so the arena's one-hot-einsum scatter
     (float32 contraction) stays exact — uint32 words would be rounded."""
     shifts = jnp.arange(4, dtype=jnp.uint32) * 8
     b = (packed[..., None] >> shifts[None, None, :]) & jnp.uint32(0xFF)
-    return b.reshape(packed.shape[0], 32).astype(jnp.uint8)
+    return b.reshape(packed.shape[0], 32).astype(jnp.int32)
 
 
 @jax.jit

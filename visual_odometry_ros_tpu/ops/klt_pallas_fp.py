@@ -375,7 +375,8 @@ def _unstack_out(out, NF):
     return [_from_field(f, NF) for f in fields]
 
 
-@partial(jax.jit, static_argnames=("radius", "iters", "eps", "min_eig", "interpret", "epi1d"))
+@partial(jax.jit, static_argnames=("radius", "iters", "eps", "min_eig", "interpret",
+                                   "epi1d", "restarts"))
 def track_level_fp(
     img0: jax.Array,
     img1: jax.Array,
@@ -388,12 +389,20 @@ def track_level_fp(
     min_eig: float = 1e-4,
     interpret: bool = False,
     epi1d: bool = False,
+    restarts: int = 4,
 ):
     """One pyramid level of batched IC-KLT, feature-parallel.
 
     Semantics match ops/klt._track_one_level (template from img0 at p0,
-    target in img1 seeded at p1_init; per-level drift beyond +-(_M+1) px is
-    clamped and flagged). No gradient images needed — Scharr runs in-kernel.
+    target in img1 seeded at p1_init). The slab drift window is only
+    +-(_M+1) px, so features whose update would leave it are RE-ANCHORED at
+    their current estimate and re-run (`restarts` extra gather+iterate
+    passes, each wrapped in a scalar `lax.cond` so converged batches skip
+    them entirely) — this is what gives the kernel the jnp path's unbounded
+    per-level convergence range (hardware-parity probe r5: without restarts,
+    full-pyramid tracking lost 10-40%% of features and diverged up to 37 px
+    on prior-seeded corridor flows; the in-window math itself agrees with
+    jnp to 1e-5 px). No gradient images needed — Scharr runs in-kernel.
     Returns (p1 [N,2], live [N] bool, err [N], processed [N] bool).
 
     `processed` marks features whose full window fits this level's image:
@@ -422,8 +431,13 @@ def track_level_fp(
     Hp = _round_up(H + _PT, 8) + _ROWS_LOAD
     Wp = _round_up(W + _PL, 128) + _COLS_LOAD
     padspec = ((_PT, Hp - H - _PT), (_PL, Wp - W - _PL))
-    img0p = jnp.pad(img0, padspec)
-    img1p = jnp.pad(img1, padspec)
+    # EDGE padding, not zeros: the in-kernel Scharr reads the pad at border
+    # windows, and a zero step there fabricates a huge spurious gradient that
+    # tripled gyy for top-border features and flipped the first GN step's
+    # sign (r5 hardware-parity bisect). The jnp oracle's scharr_gradients
+    # edge-replicates (ops/pyramid.py _sep_conv); match it.
+    img0p = jnp.pad(img0, padspec, mode="edge")
+    img1p = jnp.pad(img1, padspec, mode="edge")
 
     # Anchors (padded coords): slab top-left so the patch top-left sits
     # M(+frac) inside. _PT/_PL guarantee no clipping for in-image points.
@@ -434,60 +448,80 @@ def track_level_fp(
         return ay, ax
 
     ay0, ax0 = anchor(p0)
-    ay1, ax1 = anchor(p1_init)
     anchors0 = jnp.stack([ay0, ax0], axis=-1)
-    anchors1 = jnp.stack([ay1, ax1], axis=-1)
-
-    # Slab origins in TRUE image coordinates (can be negative near borders).
     oy0 = ay0.astype(jnp.float32) - _PT
     ox0 = ax0.astype(jnp.float32) - _PL
-    oy1 = ay1.astype(jnp.float32) - _PT
-    ox1 = ax1.astype(jnp.float32) - _PL
-
-    # Template/initial offsets in bank coordinates.
     ty = (p0[:, 1] - radius) - oy0
     tx = (p0[:, 0] - radius) - ox0
-    dy0 = (p1_init[:, 1] - radius) - oy1
-    dx0 = (p1_init[:, 0] - radius) - ox1
-
     lim = float(2 * _M + 1)
-    # Structural guard only: offsets inside the drift window (always true for
-    # finite in-image points thanks to the top-left padding; catches garbage
-    # coordinates in dead lanes). Border handling is the kernel's job now.
-    in0 = (
-        (ty >= 0.0) & (ty <= lim) & (tx >= 0.0) & (tx <= lim)
-        & (dy0 >= 0.0) & (dy0 <= lim) & (dx0 >= 0.0) & (dx0 <= lim)
-    )
-    act = valid & in0
 
-    bank0, bank1 = _gather_banks(img0p, img1p, anchors0, anchors1, Hp, Wp, interpret)
-    out = _iterate_banks(
-        bank0,
-        bank1,
-        _to_field(ty, NF),
-        _to_field(tx, NF),
-        _to_field(dy0, NF),
-        _to_field(dx0, NF),
-        _to_field(act.astype(jnp.float32), NF),
-        _to_field(p0[:, 1] - radius, NF),
-        _to_field(p0[:, 0] - radius, NF),
-        _to_field(oy1, NF),
-        _to_field(ox1, NF),
-        _to_field(jnp.ones((NF,), jnp.float32), NF),
-        S,
-        iters,
-        eps,
-        min_eig,
-        H,
-        W,
-        interpret,
-        epi1d,
-    )
-    dy, dx, err, okf = _unstack_out(out, NF)
+    def one_pass(p1_seed):
+        """Gather + iterate with the target slab anchored at p1_seed.
+        Returns (p1 [NF,2], err, okf_bool, act_bool)."""
+        ay1, ax1 = anchor(p1_seed)
+        anchors1 = jnp.stack([ay1, ax1], axis=-1)
+        oy1 = ay1.astype(jnp.float32) - _PT
+        ox1 = ax1.astype(jnp.float32) - _PL
+        dy0 = (p1_seed[:, 1] - radius) - oy1
+        dx0 = (p1_seed[:, 0] - radius) - ox1
+        # Structural guard only: offsets inside the drift window (always true
+        # for finite in-image points thanks to the top-left padding; catches
+        # garbage coordinates in dead lanes).
+        in0 = (
+            (ty >= 0.0) & (ty <= lim) & (tx >= 0.0) & (tx <= lim)
+            & (dy0 >= 0.0) & (dy0 <= lim) & (dx0 >= 0.0) & (dx0 <= lim)
+        )
+        act = valid & in0
+        bank0, bank1 = _gather_banks(img0p, img1p, anchors0, anchors1, Hp, Wp, interpret)
+        out = _iterate_banks(
+            bank0,
+            bank1,
+            _to_field(ty, NF),
+            _to_field(tx, NF),
+            _to_field(dy0, NF),
+            _to_field(dx0, NF),
+            _to_field(act.astype(jnp.float32), NF),
+            _to_field(p0[:, 1] - radius, NF),
+            _to_field(p0[:, 0] - radius, NF),
+            _to_field(oy1, NF),
+            _to_field(ox1, NF),
+            _to_field(jnp.ones((NF,), jnp.float32), NF),
+            S,
+            iters,
+            eps,
+            min_eig,
+            H,
+            W,
+            interpret,
+            epi1d,
+        )
+        dy, dx, err, okf = _unstack_out(out, NF)
+        u1 = ox1 + dx + radius
+        v1 = oy1 + dy + radius
+        p1 = jnp.stack([u1, v1], axis=-1)
+        return p1, err, okf > 0.5, act
 
-    u1 = ox1 + dx + radius
-    v1 = oy1 + dy + radius
-    p1 = jnp.stack([u1, v1], axis=-1)[:N]
+    p1, err, okf, act = one_pass(p1_init)
+    for _ in range(restarts):
+        # A boundary-clamped feature restarts from its current estimate
+        # (clamped into the image so the next anchor stays loadable). The
+        # whole batch re-runs — converged features re-converge in place, so
+        # re-running is idempotent — but only when at least one active
+        # feature actually needs it: steady-state frames with good priors
+        # skip every restart at a scalar branch.
+        need = act & ~okf
+        seed = jnp.stack(
+            [jnp.clip(p1[:, 0], 0.0, W - 1.0), jnp.clip(p1[:, 1], 0.0, H - 1.0)],
+            axis=-1,
+        )
+        p1, err, okf, act = jax.lax.cond(
+            jnp.any(need),
+            lambda s: one_pass(s),
+            lambda s: (p1, err, okf, act),
+            seed,
+        )
+
+    p1 = p1[:N]
     err = err[:N]
     # Final point must have bilinear support in the image; the pipeline's
     # border gate (track_with_prior_pyr, border=3) applies on top.
@@ -495,7 +529,7 @@ def track_level_fp(
         (p1[:, 0] >= 0.0) & (p1[:, 1] >= 0.0)
         & (p1[:, 0] <= W - 1.0) & (p1[:, 1] <= H - 1.0)
     )
-    live = valid[:N] & (okf[:N] > 0.5) & in1
+    live = valid[:N] & okf[:N] & in1
     return p1, live, err, act[:N]
 
 
@@ -583,7 +617,7 @@ def _gather_scale_banks(img0, img1, meta, Hp, Wp, interpret=False):
     )(meta, img0, img1)
 
 
-@partial(jax.jit, static_argnames=("radius", "iters", "eps", "interpret"))
+@partial(jax.jit, static_argnames=("radius", "iters", "eps", "interpret", "restarts"))
 def track_scale_fp(
     img0: jax.Array,
     img1: jax.Array,
@@ -595,6 +629,7 @@ def track_scale_fp(
     iters: int = 30,
     eps: float = 0.01,
     interpret: bool = False,
+    restarts: int = 3,
 ):
     """Feature-parallel scale-compensated IC-KLT (trackWithScale analog).
 
@@ -603,7 +638,11 @@ def track_scale_fp(
     plain variant regardless of scale. scale_change is clipped to
     [0.5, 2.0] (slab extent bound); template gradients come from in-bank
     Scharr, i.e. smoothed at patch scale rather than image scale — the same
-    pyramid-level approximation OpenCV makes.
+    pyramid-level approximation OpenCV makes. Boundary-clamped features are
+    re-anchored and re-run up to `restarts` times (cond-skipped when every
+    active feature converged interior), matching the jnp path's unbounded
+    GN range — without this the +-(M+1)*s px drift window starved large
+    flows (r5 hardware-parity probe: 8 px divergence on corridor frames).
 
     Returns (p1 [N, 2], err [N], ok [N]) matching track_scale_pallas.
     """
@@ -626,8 +665,10 @@ def track_scale_fp(
     Hp = _round_up(H + _PT_S, 8) + _SROWS
     Wp = _round_up(W + _PL_S, 128) + _SCOLS
     padspec = ((_PT_S, Hp - H - _PT_S), (_PL_S, Wp - W - _PL_S))
-    img0p = jnp.pad(img0, padspec)
-    img1p = jnp.pad(img1, padspec)
+    # Edge padding for the same reason as track_level_fp: in-bank Scharr must
+    # not see a fabricated zero step at image borders.
+    img0p = jnp.pad(img0, padspec, mode="edge")
+    img1p = jnp.pad(img1, padspec, mode="edge")
 
     rM = float(radius + _M)
 
@@ -640,47 +681,64 @@ def track_scale_fp(
         return byc, bxc, ok
 
     by0, bx0, ok0 = origin(p0)
-    by1, bx1, ok1 = origin(p1_init)
-    act = valid & ok0 & ok1
-    meta = jnp.stack(
-        [by0, bx0, by1, bx1, s, jnp.zeros_like(s), jnp.zeros_like(s), jnp.zeros_like(s)],
-        axis=-1,
-    ).astype(jnp.float32)
-
-    bank0, bank1 = _gather_scale_banks(img0p, img1p, meta, Hp, Wp, interpret)
-
     m_field = jnp.full((NF,), float(_M), jnp.float32)
-    out = _iterate_banks(
-        bank0,
-        bank1,
-        _to_field(m_field, NF),  # ty: resample placed the patch at offset M
-        _to_field(m_field, NF),
-        _to_field(m_field, NF),  # dy0 = M: prior at the drift-window center
-        _to_field(m_field, NF),
-        _to_field(act.astype(jnp.float32), NF),
-        _to_field(p0[:, 1] - s * radius, NF),  # template top-left, image coords
-        _to_field(p0[:, 0] - s * radius, NF),
-        _to_field(by1 - _PT_S, NF),  # target bank origin, image coords
-        _to_field(bx1 - _PL_S, NF),
-        _to_field(s, NF),
-        S,
-        iters,
-        eps,
-        0.0,  # no eigenvalue gate — jnp track_with_scale has none
-        H,
-        W,
-        interpret,
-    )
-    dy, dx, err, okf = _unstack_out(out, NF)
 
-    # Converged bank offset -> image position: patch center at origin + s*(d+r).
-    u1 = (bx1 - _PL_S) + s * (dx + radius)
-    v1 = (by1 - _PT_S) + s * (dy + radius)
-    p1 = jnp.stack([u1, v1], axis=-1)[:N]
+    def one_pass(p1_seed):
+        by1, bx1, ok1 = origin(p1_seed)
+        act = valid & ok0 & ok1
+        meta = jnp.stack(
+            [by0, bx0, by1, bx1, s, jnp.zeros_like(s), jnp.zeros_like(s),
+             jnp.zeros_like(s)],
+            axis=-1,
+        ).astype(jnp.float32)
+        bank0, bank1 = _gather_scale_banks(img0p, img1p, meta, Hp, Wp, interpret)
+        out = _iterate_banks(
+            bank0,
+            bank1,
+            _to_field(m_field, NF),  # ty: resample placed the patch at offset M
+            _to_field(m_field, NF),
+            _to_field(m_field, NF),  # dy0 = M: seed at the drift-window center
+            _to_field(m_field, NF),
+            _to_field(act.astype(jnp.float32), NF),
+            _to_field(p0[:, 1] - s * radius, NF),  # template top-left, image coords
+            _to_field(p0[:, 0] - s * radius, NF),
+            _to_field(by1 - _PT_S, NF),  # target bank origin, image coords
+            _to_field(bx1 - _PL_S, NF),
+            _to_field(s, NF),
+            S,
+            iters,
+            eps,
+            0.0,  # no eigenvalue gate — jnp track_with_scale has none
+            H,
+            W,
+            interpret,
+        )
+        dy, dx, err, okf = _unstack_out(out, NF)
+        # Converged bank offset -> image position: center at origin + s*(d+r).
+        u1 = (bx1 - _PL_S) + s * (dx + radius)
+        v1 = (by1 - _PT_S) + s * (dy + radius)
+        p1 = jnp.stack([u1, v1], axis=-1)
+        return p1, err, okf > 0.5, act
+
+    p1, err, okf, act = one_pass(p1_init)
+    for _ in range(restarts):
+        need = act & ~okf
+        seed = jnp.stack(
+            [jnp.clip(p1[:, 0], 0.0, W - 1.0), jnp.clip(p1[:, 1], 0.0, H - 1.0)],
+            axis=-1,
+        )
+        p1, err, okf, act = jax.lax.cond(
+            jnp.any(need),
+            lambda sd: one_pass(sd),
+            lambda sd: (p1, err, okf, act),
+            seed,
+        )
+
+    p1 = p1[:N]
     err = err[:N]
     in1 = (
         (p1[:, 0] >= 0.0) & (p1[:, 1] >= 0.0)
         & (p1[:, 0] <= W - 1.0) & (p1[:, 1] <= H - 1.0)
     )
-    ok = valid[:N] & (okf[:N] > 0.5) & in1
+    ok = valid[:N] & okf[:N] & in1
     return p1, err, ok

@@ -292,11 +292,25 @@ def main(argv=None):
         interrupted = True
         print(f"\ninterrupted — dumping {n_done} processed frames to {args.out}",
               file=sys.stderr, flush=True)
+    except BaseException:
+        # Dump whatever state exists, but never let a dump failure (e.g.
+        # plotting a diverged trajectory) mask the original error, and never
+        # turn a crash into the misleading "no frames processed" exit
+        # (r4 ADVICE low).
+        if tracer is not None:
+            tracer.close()
+            tracer = None
+        try:
+            dump_outputs()
+        except Exception as dump_exc:  # noqa: BLE001 — diagnostic only
+            print(f"warning: output dump failed after error: {dump_exc!r}",
+                  file=sys.stderr, flush=True)
+        raise
     finally:
         if tracer is not None:
             tracer.close()
-        summary = dump_outputs()
 
+    summary = dump_outputs()
     if summary is None:
         raise SystemExit(
             f"no frames processed — check --root/--seq (dataset yielded 0 frames) "

@@ -267,3 +267,33 @@ def test_ba_kills_runaway_landmarks(rng):
     killed = np.asarray(res.killed)
     assert killed[5]
     assert killed[:200].sum() < 10
+
+
+def test_ba_accept_gate():
+    """Pin the shared window-BA acceptance rule (r4 VERDICT #8): ceilings
+    derive from the pose-GN reprojection threshold; the improving clause
+    cannot admit garbage, and the flat clause cannot freeze a bad-but-
+    improving window out (livelock)."""
+    import numpy as np
+
+    thr = 3.0  # default motion.thres_poseba_error -> hard 19.5 px, tight 7.5 px
+
+    def acc(err, err0):
+        return bool(ba.ba_accept(jnp.asarray(err), jnp.asarray(err0), thr))
+
+    # Converged window, small improvement: accepted via the flat clause.
+    assert acc(1.00, 1.01)
+    # Materially improving mid-range window: accepted (no freeze livelock —
+    # a 12 px window walking down IS writable even though it's above tight).
+    assert acc(12.0, 15.0)
+    # Improving but garbage (r4 f69: 305 -> 298 px): rejected by hard ceiling.
+    assert not acc(298.0, 305.0)
+    # Worse than it started: rejected even when absolutely small.
+    assert not acc(2.0, 1.5)
+    # Flat but above the tight ceiling: rejected (only material improvement
+    # may write back a window that bad).
+    assert not acc(9.0, 9.0)
+    # Non-finite solve never writes back.
+    assert not acc(float("nan"), 5.0)
+    # Boundary: exactly at 0.98x of err0 counts as improved.
+    assert acc(0.98 * 10.0, 10.0)

@@ -234,7 +234,9 @@ class MonoVO:
                 / jnp.maximum(jnp.linalg.norm(jnp.concatenate([xn0, jnp.ones((self.N, 1))], -1), axis=-1, keepdims=True), 1e-9),
             ),
             desc=A.onehot_update(arena.desc, slots, ok_new & boot_desc_ok, boot_desc_u8),
-            desc_valid=A.onehot_update(arena.desc_valid, slots, ok_new & boot_desc_ok, op="or"),
+            # set over every born slot: stale-descriptor-on-reuse guard
+            # (r4 ADVICE medium, same as stereo).
+            desc_valid=A.onehot_update(arena.desc_valid, slots, ok_new, boot_desc_ok),
         )
         tracks = state.tracks._replace(lm_idx=slots, valid=ok_new)
 
@@ -322,7 +324,9 @@ class MonoVO:
             parallax_sum=A.onehot_update(arena.parallax_sum, slots, ok_new, zeros_n),
             parallax_n=A.onehot_update(arena.parallax_n, slots, ok_new, jnp.zeros((n_new_cap,), jnp.int32)),
             desc=A.onehot_update(arena.desc, slots, ok_new & _desc_ok, _desc_u8),
-            desc_valid=A.onehot_update(arena.desc_valid, slots, ok_new & _desc_ok, op="or"),
+            # set over every born slot: stale-descriptor-on-reuse guard
+            # (r4 ADVICE medium, same as stereo).
+            desc_valid=A.onehot_update(arena.desc_valid, slots, ok_new, _desc_ok),
         )
         free_lane = ~tracks.valid
         lanes, lane_ok = A.allocate_slots(free_lane, n_new_cap)
@@ -752,14 +756,11 @@ class MonoVO:
         res = BA.ba_solve(
             problem, self.fx, self.fy, self.cx, self.cy, jnp.asarray(self.T_rl_dummy), self.ba_params
         )
-        # Acceptance guard (see stereo twin): reject a solve that ends worse
-        # than it started instead of writing a diverged window back; accept a
-        # materially-improving solve even above the absolute gate so a bad
-        # window cannot livelock BA.
-        improved = (res.mean_err_px <= res.mean_err0_px * 0.98) & (res.mean_err_px < 20.0)
-        accept = jnp.isfinite(res.mean_err_px) & (
-            improved
-            | ((res.mean_err_px <= res.mean_err0_px * 1.05 + 0.1) & (res.mean_err_px < 8.0))
+        # Acceptance guard (shared rule, BA.ba_accept; see stereo twin):
+        # reject a solve that ends worse than it started instead of writing
+        # a diverged window back.
+        accept = BA.ba_accept(
+            res.mean_err_px, res.mean_err0_px, self.pose_params.reproj_thresh
         )
         T_cw_res = jnp.where(accept, res.T_cw, T_cw_win)
         Xw_res = jnp.where(accept, res.Xw, arena.Xw)
@@ -773,6 +774,8 @@ class MonoVO:
         arena = arena._replace(
             Xw=Xw_res,
             alive=arena.alive & ~killed,
+            # drop killed slots' descriptors (stale-appearance guard, r4 ADVICE)
+            desc_valid=arena.desc_valid & ~killed,
             bundled=arena.bundled | touched,
         )
         n_tri = jnp.sum(tri_ok | promote)
@@ -795,7 +798,7 @@ class MonoVO:
         tracks = state.tracks._replace(
             scale=jnp.where(scale_ok, scale_tr, state.tracks.scale)
         )
-        return state._replace(T_wc=T_wc_new, ring=ring, arena=arena, tracks=tracks), res.mean_err_px, n_tri
+        return state._replace(T_wc=T_wc_new, ring=ring, arena=arena, tracks=tracks), res.mean_err_px, n_tri, accept
 
     def _scan_steps_impl(self, state: MonoVOState, key, imgs):
         """Device-resident multi-frame mono step: lax.scan over B frames with
@@ -835,18 +838,19 @@ class MonoVO:
             )
 
             def do_kf(s):
-                s2, ba_err, n_tri = self._keyframe_step_impl(s)
-                return s2, ba_err, n_tri
+                s2, ba_err, n_tri, acc = self._keyframe_step_impl(s)
+                return s2, ba_err, n_tri, acc
 
             def no_kf(s):
-                return s, jnp.asarray(-1.0, jnp.float32), jnp.asarray(0, jnp.int32)
+                return s, jnp.asarray(-1.0, jnp.float32), jnp.asarray(0, jnp.int32), jnp.asarray(True)
 
             # Keyframe insertion needs a trusted pose (GN or fallback) and no
             # recovery this frame (re-bootstrap already pushed a fresh KF).
-            state_new, ba_err, n_tri = jax.lax.cond(
+            state_new, ba_err, n_tri, ba_acc = jax.lax.cond(
                 sc["need_keyframe"] & est_ok & (rec_mode == 0), do_kf, no_kf, state_new
             )
-            sc = dict(sc, recovered=rec_mode, fail_count=state_new.fail_count, est_ok=est_ok)
+            sc = dict(sc, recovered=rec_mode, fail_count=state_new.fail_count, est_ok=est_ok,
+                      ba_rejected=~ba_acc)
             return (state_new, key), (state_new.T_wc, sc, ba_err, n_tri)
 
         (state, key), outs = jax.lax.scan(one_frame, (state, key), imgs)
@@ -896,6 +900,7 @@ class MonoVO:
                 "avg_parallax": float(sc["avg_parallax"][i]),
                 "avg_age": float(sc["avg_age"][i]),
                 "ba_err": float(ba_errs[i]) if ba_errs[i] >= 0 else None,
+                "ba_rejected": bool(sc["ba_rejected"][i]) if need_kf else False,
                 "n_triangulated": int(n_tris[i]),
             }
             self.trajectory.append(poses[i])
@@ -1043,10 +1048,12 @@ class MonoVO:
         need_kf = bool(sc["need_keyframe"]) and est_ok and recovered == 0
         ba_err = None
         n_tri = 0
+        ba_rejected = False
         if need_kf:
             t_ba = _time.perf_counter()
-            self.state, ba_err, n_tri = self._keyframe_step(self.state)
+            self.state, ba_err, n_tri, ba_acc = self._keyframe_step(self.state)
             ba_err, n_tri = float(ba_err), int(n_tri)  # sync point
+            ba_rejected = not bool(ba_acc)
             if stage_ms is not None:
                 stage_ms["time_ba"] = (_time.perf_counter() - t_ba) * 1e3
 
@@ -1073,6 +1080,7 @@ class MonoVO:
             "avg_parallax": float(sc["avg_parallax"]),
             "avg_age": float(sc["avg_age"]),
             "ba_err": ba_err,
+            "ba_rejected": ba_rejected,
             "n_triangulated": n_tri,
         }
         if stage_ms is not None:

@@ -242,6 +242,36 @@ class StereoVO:
         ok = ok & row_ok & (disp_out > 0.3)
         return pts_r, ok, disp_out
 
+    def _invd_sigma2(self, img, pts):
+        """Per-feature inverse-depth measurement variance from the local image
+        gradient — the MATLAB prototype's uncertainty model
+        (legacy/matlab/stereoDisparityStatic.m:152):
+            sigma_invd = sqrt(eps_edge^2 + eps_epi^2 * dv^2) / (|du| * fx * b)
+        with (du, dv) the UNIT gradient: weak horizontal texture localizes
+        disparity poorly, and epipolar (row) error leaks into disparity
+        through the gradient slope."""
+        from ..utils import interp
+
+        ex = jnp.asarray([1.0, 0.0], jnp.float32)
+        ey = jnp.asarray([0.0, 1.0], jnp.float32)
+        ipx, _ = interp.bilinear_sample(img, pts + ex)
+        imx, _ = interp.bilinear_sample(img, pts - ex)
+        ipy, _ = interp.bilinear_sample(img, pts + ey)
+        imy, _ = interp.bilinear_sample(img, pts - ey)
+        du = (ipx - imx) * 0.5
+        dv = (ipy - imy) * 0.5
+        mag = jnp.maximum(jnp.sqrt(du * du + dv * dv), 1e-6)
+        duh = du / mag
+        dvh = dv / mag
+        eps_edge, eps_epi = 0.5, 1.0  # px (MATLAB: eps_edge/eps_epi)
+        bfinv = 1.0 / (self.fx * self.baseline)
+        sig = (
+            jnp.sqrt(eps_edge**2 + eps_epi**2 * dvh * dvh)
+            / jnp.maximum(jnp.abs(duh), 0.05)
+            * bfinv
+        )
+        return sig * sig
+
     def _triangulate_stereo(self, pts_l, disp, ok):
         """Rectified closed form: z = fx b / d; X from left pixel ray."""
         z = self.fx * self.baseline / jnp.where(ok, jnp.maximum(disp, 1e-3), 1.0)
@@ -330,6 +360,10 @@ class StereoVO:
             age=A.onehot_update(arena.age, slots, ok_new, jnp.ones((n_new_cap,), jnp.int32)),
             last_pt=A.onehot_update(arena.last_pt, slots, ok_new, new_pts),
             inv_depth=A.onehot_update(arena.inv_depth, slots, ok_new, 1.0 / jnp.maximum(Xc[:, 2], 1e-3)),
+            inv_depth_var=A.onehot_update(
+                arena.inv_depth_var, slots, ok_new,
+                self._invd_sigma2(pyr_l[0][0], new_pts),
+            ),
             parallax_last=A.onehot_update(arena.parallax_last, slots, ok_new, zeros_n),
             parallax_max=A.onehot_update(arena.parallax_max, slots, ok_new, zeros_n),
             parallax_min=A.onehot_update(
@@ -338,7 +372,11 @@ class StereoVO:
             parallax_sum=A.onehot_update(arena.parallax_sum, slots, ok_new, zeros_n),
             parallax_n=A.onehot_update(arena.parallax_n, slots, ok_new, jnp.zeros((n_new_cap,), jnp.int32)),
             desc=A.onehot_update(arena.desc, slots, ok_new & desc_ok, desc_u8),
-            desc_valid=A.onehot_update(arena.desc_valid, slots, ok_new & desc_ok, op="or"),
+            # set (not or) over EVERY born slot: a reused slot whose birth
+            # descriptor is invalid (border feature) must not keep the dead
+            # landmark's descriptor with desc_valid on — tier-2 relocalization
+            # would match the old appearance to the new 3D point (r4 ADVICE).
+            desc_valid=A.onehot_update(arena.desc_valid, slots, ok_new, desc_ok),
         )
 
         # Merge into free track lanes.
@@ -798,15 +836,18 @@ class StereoVO:
         pr = jnp.stack([Xr[:, 0] / zr * self.fx + self.cx, Xr[:, 1] / zr * self.fy + self.cy], -1)
         el2 = jnp.sum((pl - tracks.pts) ** 2, axis=-1)
         er2 = jnp.sum((pr - state.tracks_r) ** 2, axis=-1)
+        # Geometric sanity at the pose-GN reprojection threshold (config, not
+        # a bespoke literal — r4 VERDICT #6): rectified-row consistency.
+        sane2 = self.pose_params.reproj_thresh ** 2
         good = (
             both
-            & (el2 <= 1.0)
-            & (er2 <= 1.0)
+            & (el2 <= sane2)
+            & (er2 <= sane2)
             & (Xl[:, 2] > self.cfg.map.min_depth)
             & (Xr[:, 2] > 0.0)
             & (Xl[:, 2] < self.cfg.map.max_depth)
         )
-        # Depth-overwrite gate (r4): the 1 px both-view check is pure SELF-
+        # Depth-overwrite gate (r4): the both-view check is pure SELF-
         # consistency — a stereo match that drifted onto a repeated-texture
         # alias is self-consistent and would lock its wrong depth into the
         # arena here, eroding the map a little at every keyframe (measured:
@@ -820,9 +861,42 @@ class StereoVO:
             state.pyr_prev[0][0], state.img_r, tracks.pts, disp_rt, good
         )
         good = good & ok_v
-        Xw_new = geo.transform_points(state.T_wc, Xl)
+
+        # Principled depth update (r4 VERDICT #6, replacing the hand-tuned
+        # 1 px overwrite): fuse the new inverse-depth measurement with the
+        # landmark's belief by product of Gaussians (reference
+        # updateNormalDistribution, standalone/depth_filter/depth_filter.cpp:3-13;
+        # fusion exactly as the MATLAB prototype, stereoDisparityStatic.m:168-176).
+        # Prior mean comes from the CURRENT Xw (so BA refinements are
+        # respected); prior variance is the filter state. A measurement
+        # outside 3 sigma of the belief is rejected instead of overwriting.
+        bfinv = 1.0 / (self.fx * self.baseline)
+        lm_X = state.arena.Xw[tracks.lm_idx]
+        z_prev = geo.transform_points(geo.se3_inverse(state.T_wc), lm_X)[:, 2]
+        invd_prev = 1.0 / jnp.maximum(z_prev, 1e-3)
+        var_stored = state.arena.inv_depth_var[tracks.lm_idx]
+        # unset/zero variance (pre-filter landmarks) -> weak prior
+        var_prev = jnp.where(var_stored > 0, var_stored, 1.0)
+        invd_meas = jnp.maximum(disp_rt, 1e-3) * bfinv
+        var_meas = self._invd_sigma2(state.pyr_prev[0][0], tracks.pts)
+        maha_ok = (invd_meas - invd_prev) ** 2 <= 9.0 * (var_prev + var_meas)
+        good = good & maha_ok
+        invd_f, var_f = DF.update_gaussian(invd_prev, var_prev, invd_meas, var_meas)
+        z_f = 1.0 / jnp.maximum(invd_f, 1e-6)
+        good = good & (z_f > self.cfg.map.min_depth) & (z_f < self.cfg.map.max_depth)
+        Xl_f = jnp.stack(
+            [
+                (tracks.pts[:, 0] - self.cx) / self.fx * z_f,
+                (tracks.pts[:, 1] - self.cy) / self.fy * z_f,
+                z_f,
+            ],
+            axis=-1,
+        )
+        Xw_new = geo.transform_points(state.T_wc, Xl_f)
         arena = state.arena._replace(
             Xw=A.onehot_update(state.arena.Xw, tracks.lm_idx, good, Xw_new),
+            inv_depth=A.onehot_update(state.arena.inv_depth, tracks.lm_idx, good, invd_f),
+            inv_depth_var=A.onehot_update(state.arena.inv_depth_var, tracks.lm_idx, good, var_f),
             triangulated=A.onehot_update(state.arena.triangulated, tracks.lm_idx, good, op="or"),
         )
         return state._replace(arena=arena), jnp.sum(good)
@@ -855,19 +929,12 @@ class StereoVO:
         res = BA.ba_solve(
             problem, self.fx, self.fy, self.cx, self.cy, jnp.asarray(self.T_rl), self.ba_params
         )
-        # Acceptance guard: a solve that ends worse than it started (poisoned
-        # window — dynamic-object landmarks, bad poses) is rejected wholesale;
-        # the reference throws on divergence (:652-654), a running system
-        # keeps the pre-BA state instead. A solve that MATERIALLY improves a
-        # bad window is accepted even above the absolute gate — otherwise a
-        # >8 px window is frozen and BA livelocks re-rejecting it forever.
-        improved = res.mean_err_px <= res.mean_err0_px * 0.98
-        # Absolute ceiling on the improved-clause too: "improved" from a
-        # 305 px window to 298 px is still garbage poses — writing it back
-        # detonated the trajectory at r4's f69 (ba_err 298 accepted).
-        accept = jnp.isfinite(res.mean_err_px) & (
-            (improved & (res.mean_err_px < 20.0))
-            | ((res.mean_err_px <= res.mean_err0_px * 1.05 + 0.1) & (res.mean_err_px < 8.0))
+        # Acceptance guard (shared rule, BA.ba_accept): a solve that ends
+        # worse than it started (poisoned window — dynamic-object landmarks,
+        # bad poses) is rejected wholesale; the reference throws on
+        # divergence (:652-654), a running system keeps the pre-BA state.
+        accept = BA.ba_accept(
+            res.mean_err_px, res.mean_err0_px, self.pose_params.reproj_thresh
         )
         T_cw_res = jnp.where(accept, res.T_cw, gathered["T_cw"])
         Xw_res = jnp.where(accept, res.Xw, state.arena.Xw)
@@ -883,9 +950,13 @@ class StereoVO:
         arena = state.arena._replace(
             Xw=Xw_res,
             alive=state.arena.alive & ~killed,
+            # Killed slots must drop their descriptor too, or a later rebirth
+            # that fails descriptor extraction inherits stale appearance
+            # (r4 ADVICE medium).
+            desc_valid=state.arena.desc_valid & ~killed,
             bundled=state.arena.bundled | touched,
         )
-        return state._replace(T_wc=T_wc_new, ring=ring, arena=arena), res.mean_err_px
+        return state._replace(T_wc=T_wc_new, ring=ring, arena=arena), res.mean_err_px, accept
 
     def _scan_steps_impl(self, state: StereoVOState, imgs_l, imgs_r):
         """Device-resident multi-frame step: lax.scan over B frames with the
@@ -905,18 +976,18 @@ class StereoVO:
             state, stats = self._steady_step_impl(state, il, ir)
 
             def do_kf(s):
-                s2, ba_err = self._keyframe_step_impl(s)
-                return s2, ba_err
+                s2, ba_err, acc = self._keyframe_step_impl(s)
+                return s2, ba_err, acc
 
             def no_kf(s):
-                return s, jnp.asarray(-1.0, jnp.float32)
+                return s, jnp.asarray(-1.0, jnp.float32), jnp.asarray(True)
 
-            state, ba_err = jax.lax.cond(stats.need_keyframe, do_kf, no_kf, state)
-            out = (state.T_wc, stats, ba_err)
+            state, ba_err, ba_acc = jax.lax.cond(stats.need_keyframe, do_kf, no_kf, state)
+            out = (state.T_wc, stats, ba_err, ba_acc)
             return state, out
 
-        state, (poses, stats, ba_errs) = jax.lax.scan(one_frame, state, (imgs_l, imgs_r))
-        return state, poses, stats, ba_errs
+        state, (poses, stats, ba_errs, ba_accs) = jax.lax.scan(one_frame, state, (imgs_l, imgs_r))
+        return state, poses, stats, ba_errs, ba_accs
 
     # ------------------------------------------------------------------
     # host driver
@@ -945,11 +1016,13 @@ class StereoVO:
             start = 1
             if il.shape[0] == 1:
                 return [self.stats_log[-1]]
-        self.state, poses, fstats, ba_errs = self._scan_steps(self.state, il[start:], ir[start:])
+        self.state, poses, fstats, ba_errs, ba_accs = self._scan_steps(
+            self.state, il[start:], ir[start:]
+        )
         # ONE device->host transfer for the whole batch output: per-field
         # np.asarray reads are separate RPCs on a remote-attached TPU
         # (~300 ms/batch of pure readback latency measured at 24 frames).
-        poses, fstats, ba_errs = jax.device_get((poses, fstats, ba_errs))
+        poses, fstats, ba_errs, ba_accs = jax.device_get((poses, fstats, ba_errs, ba_accs))
         out = []
         B = poses.shape[0]
         for i in range(B):
@@ -970,6 +1043,9 @@ class StereoVO:
                 "fail_count": int(fstats.fail_count[i]),
                 "recovered": int(fstats.recovered[i]),
                 "ba_err": float(ba_errs[i]) if ba_errs[i] >= 0 else None,
+                # BA-rejected keyframes must be observable (r4 VERDICT #8): a
+                # silently-frozen BA (every solve rejected) shows up here.
+                "ba_rejected": bool(need_kf and not ba_accs[i]),
             }
             self.trajectory.append(poses[i])
             if need_kf:
@@ -1069,10 +1145,12 @@ class StereoVO:
             stage_ms = None
         need_kf = bool(fstats.need_keyframe)
         ba_err = None
+        ba_rejected = False
         if need_kf:
             t_ba = _time.perf_counter()
-            self.state, ba_err = self._keyframe_step(self.state)
+            self.state, ba_err, ba_acc = self._keyframe_step(self.state)
             ba_err = float(ba_err)  # sync point: includes device time
+            ba_rejected = not bool(ba_acc)
             if stage_ms is not None:
                 stage_ms["time_ba"] = (_time.perf_counter() - t_ba) * 1e3
 
@@ -1095,6 +1173,7 @@ class StereoVO:
             "fail_count": int(fstats.fail_count),
             "recovered": int(fstats.recovered),
             "ba_err": ba_err,
+            "ba_rejected": ba_rejected,
         }
         if stage_ms is not None:
             stats["stage_ms"] = stage_ms

@@ -288,6 +288,32 @@ def back_substitute(Cinv, b, B, dx):
     return jnp.sum(Cinv * rhs[:, None, :], axis=-1)
 
 
+def ba_accept(mean_err_px, mean_err0_px, reproj_thresh: float):
+    """Window-BA acceptance rule, shared by both pipelines and pinned by
+    tests/test_ba.py::test_ba_accept_gate.
+
+    A solve is written back iff it is finite AND either
+      (a) materially improved (<= 0.98x the pre-BA error) and below a hard
+          absolute ceiling — "improved" from 305 px to 298 px is still a
+          garbage window (r4 f69 detonation), or
+      (b) roughly flat (<= 1.05x + 0.1 px) and already below a tight ceiling.
+    Clause (a) prevents the freeze-livelock: a bad-but-improving window is
+    accepted so successive solves can walk it down instead of being
+    re-rejected forever; clause (b) lets converged windows breathe.
+    Ceilings derive from the pose-GN reprojection threshold (config), not
+    bespoke literals (r4 VERDICT #8): hard = 6.5x, tight = 2.5x — at the
+    default 3 px threshold these reproduce the r4-tuned 19.5/7.5 px gates.
+    """
+    hard_ceil = 6.5 * reproj_thresh
+    tight_ceil = 2.5 * reproj_thresh
+    improved = mean_err_px <= mean_err0_px * 0.98
+    flat = mean_err_px <= mean_err0_px * 1.05 + 0.1
+    return jnp.isfinite(mean_err_px) & (
+        (improved & (mean_err_px < hard_ceil))
+        | (flat & (mean_err_px < tight_ceil))
+    )
+
+
 def ba_solve_impl(
     problem: BAProblem,
     fx,

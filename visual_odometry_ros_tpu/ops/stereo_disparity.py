@@ -240,5 +240,10 @@ def verify_disparity_zncc(
         & (s_at > min_zncc)
         & (jnp.abs(best_d) <= agree_px)
         & ~rival
+        # Clamp guard (r4 ADVICE): if the right-image anchor is far enough
+        # off-image left that the dynamic_slice clamp shifted the strip,
+        # col_ok's coordinate bookkeeping no longer matches the slab content
+        # — such candidates must never pass regardless of upstream gates.
+        & (pts_l[:, 0] - disp >= 0.0)
     )
     return ok, s_at

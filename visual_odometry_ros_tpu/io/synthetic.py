@@ -592,3 +592,34 @@ def forward_trajectory(n_frames: int, step=0.25, yaw_rate=0.002, lateral=0.0):
         )
         poses.append(np.asarray(geo.se3_exp(jnp.asarray(xi))))
     return np.stack(poses)
+
+
+def photo_corridor(photo: np.ndarray, crop: int = 256, seed: int = 5, **kw) -> CorridorSequence:
+    """CorridorSequence with every plane textured by crops of a REAL
+    photograph instead of procedural noise (r4 VERDICT #7: every ZNCC/KLT/BA
+    threshold in this repo was tuned on procedural textures; this world
+    de-risks them against natural image statistics — edges, flat regions,
+    gradients, real second-order structure — before real KITTI ever appears).
+
+    photo: [H, W] grayscale uint8/float. Each plane gets a different crop
+    (flipped/transposed for diversity), contrast-stretched to full range.
+    Crops tile via the standard wrap sampler; tiling seams act like building
+    edges. Camera intrinsics/extent kwargs pass through to CorridorSequence.
+    """
+    seq = CorridorSequence(**kw)
+    ph = np.asarray(photo, np.float32)
+    H, W = ph.shape
+    c = min(crop, H, W)
+    rng = np.random.default_rng(seed)
+    for i, pl in enumerate(seq.planes):
+        y0 = int(rng.integers(0, H - c + 1))
+        x0 = int(rng.integers(0, W - c + 1))
+        tile = ph[y0 : y0 + c, x0 : x0 + c]
+        if i % 2 == 1:
+            tile = tile.T
+        if i % 3 == 1:
+            tile = tile[::-1]
+        lo, hi = float(tile.min()), float(tile.max())
+        tile = (tile - lo) / max(hi - lo, 1.0) * 235.0 + 10.0
+        pl.tex = _MipTex(np.ascontiguousarray(tile))
+    return seq

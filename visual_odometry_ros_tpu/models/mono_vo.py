@@ -472,11 +472,10 @@ class MonoVO:
         arena = A.parallax_observe(arena, tracks.lm_idx, survived, par)
         avg_parallax, avg_age = A.landmark_stat_means(arena)
         tracks = tracks._replace(pts=pts1, valid=survived, scale=scale_prior)
-        # Replenishment gated on a trusted pose; the 5-point fallback re-runs
-        # it after correcting the pose (death-spiral defect, r2 weak #1).
-        tracks, arena, n_new = self._replenish(img, tracks, arena, T_wc_new, allow=pose_ok)
 
-        # Keyframe rule.
+        # Keyframe rule (computed before replenishment — births are never in
+        # the last keyframe's landmark set, so the overlap is unchanged; the
+        # decision gates replenishment below).
         head = state.ring.head
         last_kf_lm = state.ring.lm_idx[head]
         last_kf_ov = state.ring.obs_valid[head]
@@ -495,6 +494,24 @@ class MonoVO:
             | (trans > cfg.keyframe.thres_translation)
             | (rot_deg > cfg.keyframe.thres_rotation)
         )
+
+        # Replenishment gated on a trusted pose (the 5-point fallback re-runs
+        # it after correcting the pose — death-spiral defect, r2 weak #1) AND
+        # on needing features (r4 VERDICT #2, see stereo twin): detection +
+        # back-track + descriptor births only run on deficit/keyframe frames.
+        n_live = jnp.sum(tracks.valid)
+        deficit = n_live < jnp.int32(int(cfg.extractor.replenish_min_ratio * self.N))
+        do_rep = pose_ok & (deficit | need_kf)
+
+        def _rep(ta):
+            t, a = ta
+            return self._replenish(img, t, a, T_wc_new, allow=True)
+
+        def _norep(ta):
+            t, a = ta
+            return t, a, jnp.asarray(0, jnp.int32)
+
+        tracks, arena, n_new = jax.lax.cond(do_rep, _rep, _norep, (tracks, arena))
 
         step_len = jnp.linalg.norm(dT_new[:3, 3])
         new_state = state._replace(

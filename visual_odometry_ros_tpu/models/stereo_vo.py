@@ -586,17 +586,11 @@ class StereoVO:
 
         tracks = tracks._replace(pts=pts1, valid=survived, scale=scale_prior)
 
-        # [10] replenishment — gated on a trusted pose: no landmark births
-        # under a failed solve (r2 death-spiral defect).
-        tracks, arena, pts_r_new, pts_r_valid_new, n_new = self._replenish(
-            pyr_l, pyr_r, tracks, arena, T_wc_new, allow=pose_ok
-        )
-        # Right observations: tracked lanes from stereo match, new lanes fresh.
-        tracks_r = jnp.where(pts_r_valid_new[:, None], pts_r_new, pts_r1)
-        tracks_r_valid = pts_r_valid_new | (survived & ok_stereo)
-
         # [12] keyframe rule inputs (keyframes.cpp:217-303): overlap ratio vs
-        # last KF + translation/rotation thresholds.
+        # last KF + translation/rotation thresholds. Computed BEFORE
+        # replenishment (identical result: births are never members of the
+        # last keyframe's landmark set, so they cannot change the overlap
+        # numerator) so the keyframe decision can gate replenishment.
         head = state.ring.head
         last_kf_lm = state.ring.lm_idx[head]
         last_kf_ov = state.ring.obs_valid[head]
@@ -618,6 +612,40 @@ class StereoVO:
             | (trans > cfg.keyframe.thres_translation)
             | (rot_deg > cfg.keyframe.thres_rotation)
         ) & pose_ok
+
+        # [10] replenishment — gated on a trusted pose (no landmark births
+        # under a failed solve, r2 death-spiral defect) AND on actually
+        # needing features (r4 VERDICT #2): the detect/disparity/verify/
+        # descriptor cascade is by far the most expensive part of the steady
+        # step, and a frame whose track table is still near capacity gains
+        # nothing from it. Trigger on live-track deficit or a keyframe (the
+        # fresh keyframe should observe fresh births; keyframe cadence also
+        # bounds how long a drifting field of view can go without coverage
+        # refresh). lax.cond skips the whole cascade otherwise.
+        n_live = jnp.sum(tracks.valid)
+        deficit = n_live < jnp.int32(int(cfg.extractor.replenish_min_ratio * self.N))
+        do_rep = pose_ok & (deficit | need_kf)
+
+        def _rep(ta):
+            t, a = ta
+            return self._replenish(pyr_l, pyr_r, t, a, T_wc_new, allow=True)
+
+        def _norep(ta):
+            t, a = ta
+            return (
+                t,
+                a,
+                jnp.zeros((self.N, 2), jnp.float32),
+                jnp.zeros((self.N,), bool),
+                jnp.asarray(0, jnp.int32),
+            )
+
+        tracks, arena, pts_r_new, pts_r_valid_new, n_new = jax.lax.cond(
+            do_rep, _rep, _norep, (tracks, arena)
+        )
+        # Right observations: tracked lanes from stereo match, new lanes fresh.
+        tracks_r = jnp.where(pts_r_valid_new[:, None], pts_r_new, pts_r1)
+        tracks_r_valid = pts_r_valid_new | (survived & ok_stereo)
 
         fail_count = jnp.where(pose_ok, 0, state.fail_count + 1).astype(jnp.int32)
 

@@ -103,13 +103,24 @@ def main():
     jax.block_until_ready(vo.state.T_wc)
     dt = time.perf_counter() - t0
 
-    # End-to-end variant: uint8 upload INSIDE the timed loop (what a camera
-    # feed without DMA prefetch would pay; on this remote-tunnel TPU the
-    # transfer RPC serializes behind compute, so this is a pessimistic bound).
-    t0 = time.perf_counter()
-    for b in range(N_BATCHES):
+    # End-to-end variant: uint8 uploads INSIDE the timed loop, double-
+    # buffered (r4 VERDICT #3) — batch b+1's device_put is issued BEFORE
+    # batch b's scan is dispatched, so on hardware whose DMA engine overlaps
+    # transfers with compute the upload hides entirely; on this remote-TPU
+    # tunnel transfer RPCs serialize behind in-flight computation
+    # (measured by scripts/h2d_overlap_probe.py -> H2D_OVERLAP json), so
+    # this number is a pessimistic lower bound there.
+    def batch_at(b):
         s = 1 + BATCH * (1 + b)
-        vo.track_stereo_batch(il[s : s + BATCH], ir[s : s + BATCH])
+        return il[s : s + BATCH], ir[s : s + BATCH]
+
+    t0 = time.perf_counter()
+    nxt = jax.device_put(batch_at(0))
+    for b in range(N_BATCHES):
+        cur = nxt
+        if b + 1 < N_BATCHES:
+            nxt = jax.device_put(batch_at(b + 1))  # async: overlaps the scan below
+        vo.track_stereo_batch(*cur)
     jax.block_until_ready(vo.state.T_wc)
     dt_h2d = time.perf_counter() - t0
 

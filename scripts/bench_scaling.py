@@ -181,6 +181,7 @@ def main(argv=None):
     p.add_argument("--local-devices", type=int, default=4,
                    help="virtual devices per process in --multiprocess mode")
     p.add_argument("--out", default=None, help="npz dump of the proc-0 result")
+    p.add_argument("--json-out", default=None, help="append result records to this JSON file")
     p.add_argument("--worker-id", type=int, default=None, help=argparse.SUPPRESS)
     p.add_argument("--num-procs", type=int, default=None, help=argparse.SUPPRESS)
     p.add_argument("--coordinator", default=None, help=argparse.SUPPRESS)
@@ -215,6 +216,15 @@ def main(argv=None):
     if sizes != args.devices:
         print(f"# only {have} devices available; running {sizes}", file=sys.stderr)
 
+    # Per-iteration interconnect payload of the landmark-sharded solver
+    # (r4 VERDICT #9): exactly one psum of the reduced camera system per GN
+    # iteration — S [6K, 6K] f32 + s [6K] f32 — plus three scalar guards and
+    # the two mean-err reductions per solve. Everything else stays
+    # shard-local (assembly, Cinv, back-substitution).
+    K6 = 6 * args.window
+    payload_iter = K6 * K6 * 4 + K6 * 4 + 3 * 4
+    payload_solve = args.iters * payload_iter + 2 * 8
+
     results = []
     for nd in sizes:
         if args.strong:
@@ -233,6 +243,32 @@ def main(argv=None):
         jax.block_until_ready(res)
         dt = time.perf_counter() - t0
         iters_per_s = args.reps * args.iters / dt
+
+        # Assembly/solve split (r4 VERDICT #9): time the shard-local half
+        # (observation terms + normal blocks + Schur elimination — no
+        # collective) in isolation; the remainder of a full iteration is the
+        # psum + replicated 6Kx6K solve + back-substitution.
+        from visual_odometry_ros_tpu.ops import ba as _ba
+
+        def _assembly_only(prob, fx, fy, cx, cy, trl):
+            T_cr = prob.T_cw  # window-anchored enough for cost purposes
+            w, r, Q, Rj = _ba.build_observation_terms(
+                T_cr, prob.Xw, prob.pts, prob.mask, prob.pts_r, prob.mask_r,
+                fx, fy, cx, cy, trl, 1.0,
+            )
+            A, a, C, b, B = _ba.assemble_normal_blocks(w, r, Q, Rj)
+            S_loc, s_loc, Cinv, _ = _ba.schur_reduce(A, a, C, b, B, 1e-4)
+            return S_loc, s_loc, Cinv
+        asm = jax.jit(_assembly_only)
+        out = asm(problem, FX, FY, CX, CY, T_rl)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = asm(problem, FX, FY, CX, CY, T_rl)
+        jax.block_until_ready(out)
+        asm_ms = (time.perf_counter() - t0) / args.reps * 1e3
+        iter_ms = dt / args.reps / args.iters * 1e3
+
         rec = {
             "metric": "ba_iters_per_s",
             "devices": nd,
@@ -241,6 +277,10 @@ def main(argv=None):
             "value": round(iters_per_s, 2),
             "unit": "GN iters/s",
             "ms_per_solve": round(dt / args.reps * 1e3, 2),
+            "assembly_ms_per_iter": round(asm_ms, 3),
+            "collective_and_solve_ms_per_iter": round(max(iter_ms - asm_ms, 0.0), 3),
+            "psum_payload_bytes_per_iter": payload_iter,
+            "psum_payload_bytes_per_solve": payload_solve,
             "mean_err_px": round(float(res.mean_err_px), 4),
         }
         results.append(rec)
@@ -273,19 +313,25 @@ def main(argv=None):
         # if it doesn't, extra virtual devices add real parallelism and the
         # rescaled figure flatters. Cap at 1.0 and always report the raw
         # iters/s ratio alongside (r2 ADVICE medium).
-        print(
-            json.dumps(
-                {
-                    "metric": "scaling_efficiency",
-                    "mode": "strong" if args.strong else "weak",
-                    "host_limited_ideal": host_limited,
-                    "devices": last["devices"],
-                    "value": round(min(eff, 1.0), 3),
-                    "raw_iters_ratio": round(raw_ratio, 3),
-                    "unit": "fraction",
-                }
-            )
-        )
+        eff_rec = {
+            "metric": "scaling_efficiency",
+            "mode": "strong" if args.strong else "weak",
+            "host_limited_ideal": host_limited,
+            "devices": last["devices"],
+            "value": round(min(eff, 1.0), 3),
+            "raw_iters_ratio": round(raw_ratio, 3),
+            "unit": "fraction",
+        }
+        results.append(eff_rec)
+        print(json.dumps(eff_rec))
+    if args.json_out:
+        existing = []
+        if os.path.exists(args.json_out):
+            with open(args.json_out) as f:
+                existing = json.load(f)
+        with open(args.json_out, "w") as f:
+            json.dump(existing + results, f, indent=1)
+    return results
 
 
 if __name__ == "__main__":

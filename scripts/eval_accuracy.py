@@ -124,6 +124,12 @@ def main(argv=None):
     p.add_argument("--platform", default=None)
     p.add_argument("--frames", type=int, default=200)
     p.add_argument("--render-only", action="store_true")
+    p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto",
+                   help="force the kernel path (default: pallas iff non-cpu "
+                        "backend); --pallas off on TPU bisects kernel-vs-"
+                        "numerics accuracy gaps")
+    p.add_argument("--tag", default=None,
+                   help="record key override (default: platform name)")
     args = p.parse_args(argv)
     if args.render_only:
         render_md()
@@ -136,7 +142,10 @@ def main(argv=None):
     import jax
 
     plat = jax.devices()[0].platform
-    use_pallas = plat not in ("cpu",)
+    if args.pallas == "auto":
+        use_pallas = plat not in ("cpu",)
+    else:
+        use_pallas = args.pallas == "on"
 
     from visual_odometry_ros_tpu.io.synthetic import HardSequence, varied_trajectory
     from visual_odometry_ros_tpu.io.trajectory import ate_rmse, rpe
@@ -202,7 +211,7 @@ def main(argv=None):
     if os.path.exists(JSON_PATH):
         with open(JSON_PATH) as f:
             records = json.load(f)
-    records[plat] = rec
+    records[args.tag or plat] = rec
     with open(JSON_PATH, "w") as f:
         json.dump(records, f, indent=1, allow_nan=False)
     render_md()

@@ -42,7 +42,10 @@ def build_vo():
     cfg.map.landmark_capacity = 4096
     cfg.keyframe.n_max_keyframes_in_window = 9
     cfg.keyframe.thres_translation = 4.0
-    cfg.tracker.max_level = 4
+    # Per-level KLT cost is ~N x window gathers regardless of image size, so
+    # levels are paid at full price; 3 prior-seeded levels match the accuracy
+    # harness config and cover the bench world's flow magnitudes.
+    cfg.tracker.max_level = 3
     cfg.tracker.max_iter = 15
     return StereoVO(cfg)
 

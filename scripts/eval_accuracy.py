@@ -158,8 +158,19 @@ def main(argv=None):
     # Corridor sized around the trajectory: the world is valid for every pose
     # (render raises ChiralityError otherwise — VERDICT r2 missing #1a).
     world = HardSequence(poses_T_wc=poses_gt, baseline=0.5)
-    print(f"[{plat}] rendering {args.frames} adversarial stereo frames ...", flush=True)
-    frames = [world.stereo_pair(T.astype(np.float64), frame=i) for i, T in enumerate(poses_gt)]
+    # Rendering is ~15 min of host CPU per run; the sequence is a pure
+    # function of --frames, so cache it across legs (cpu/tpu/tpu_jnp all
+    # consume identical pixels — that identity is what makes the A/B valid).
+    cache = f"/tmp/vo_eval_frames_{args.frames}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        frames = list(zip(z["il"], z["ir"]))
+        print(f"[{plat}] loaded {args.frames} cached frames from {cache}", flush=True)
+    else:
+        print(f"[{plat}] rendering {args.frames} adversarial stereo frames ...", flush=True)
+        frames = [world.stereo_pair(T.astype(np.float64), frame=i) for i, T in enumerate(poses_gt)]
+        np.savez_compressed(cache, il=np.stack([l for l, _ in frames]),
+                            ir=np.stack([r for _, r in frames]))
 
     print(f"[{plat}] stereo run (use_pallas={use_pallas}) ...", flush=True)
     traj_s, wall_s, slog = run_stereo(frames, use_pallas)

@@ -85,6 +85,7 @@ class MonoVO:
             max_err=cfg.tracker.thres_error,
             fb_thresh=cfg.tracker.thres_bidirection,
             use_pallas=KLT.resolve_use_pallas(cfg.tracker.use_pallas),
+            iters_coarse=cfg.tracker.coarse_iter,
         )
         self.pose_params = PG.PoseGNParams(
             max_iters=cfg.motion.pose_ba_iters,
@@ -365,6 +366,7 @@ class MonoVO:
         img_prev, du0, dv0 = state.pyr_prev[0]
         pts1_ref, ok_scale = KLT.track_with_scale(
             img_prev, du0, dv0, img, tracks.pts, pts1, scale_prior, ok_track,
+            iters=self.cfg.tracker.scale_iter,
             use_pallas=self.klt_params.use_pallas,
         )
         pts1 = jnp.where(ok_scale[:, None], pts1_ref, pts1)

@@ -110,6 +110,12 @@ class StereoVO:
             max_err=cfg.tracker.thres_error,
             fb_thresh=cfg.tracker.thres_bidirection,
             use_pallas=KLT.resolve_use_pallas(cfg.tracker.use_pallas),
+            iters_coarse=cfg.tracker.coarse_iter,
+        )
+        # Rectified-stereo epipolar passes: 1-D refinement from a disparity
+        # prior converges in a few steps at every level.
+        self.klt_params_epi = self.klt_params._replace(
+            iters=cfg.tracker.epi_iter, iters_coarse=cfg.tracker.epi_iter
         )
         self.pose_params = PG.PoseGNParams(
             max_iters=cfg.motion.pose_ba_iters,
@@ -227,13 +233,13 @@ class StereoVO:
         # replenishment).
         if bidir:
             pts_r, ok = KLT.track_bidirectional_pyr(
-                pyr_l, pyr_r, pts_l, prior, valid, self.klt_params,
+                pyr_l, pyr_r, pts_l, prior, valid, self.klt_params_epi,
                 fb_scale=5.0, back_levels=1, epi1d=True,
             )
         else:
             pts_r, ok = KLT.track_with_prior_pyr(
-                pyr_l, pyr_r, pts_l, prior, valid, self.klt_params,
-                track_levels=2, epi1d=True,
+                pyr_l, pyr_r, pts_l, prior, valid, self.klt_params_epi,
+                track_levels=1, epi1d=True,
             )
         disp_out = pts_l[:, 0] - pts_r[:, 0]
         # Rectified: matches must stay on the epipolar row (trivially exact in
@@ -452,18 +458,40 @@ class StereoVO:
         # the alignment measures directly).
         from ..ops.pyramid import global_shift_zncc
 
-        lvl_c = len(pyr_l) - 1
-        gshift, _gs = global_shift_zncc(state.pyr_prev[lvl_c][0], pyr_l[lvl_c][0])
-        gshift = gshift * (2.0 ** lvl_c)
         blackout = state.fail_count > 0
         # dT == identity means "no velocity estimate yet" (first frames,
         # frame after recovery) — the projection prior then degenerates to
         # zero flow; the measured shift must take over there too.
         dT_fresh = jnp.sum(jnp.abs(state.dT - jnp.eye(4, dtype=state.dT.dtype))) < 1e-6
         prior_trusted = has_3d & ~blackout & ~dT_fresh
-        prior_pts = jnp.where(
-            prior_trusted[:, None], prior_pts, tracks.pts + gshift[None, :]
+        # The coarse ZNCC alignment costs ~1.7 ms/frame but is only load-
+        # bearing while the pose is untrusted, so it runs under lax.cond on
+        # exactly the blackout/fresh predicate it serves. On trusted-dT
+        # frames, features WITHOUT a landmark depth instead get a far-point
+        # motion seed: their pixel unprojected at z_far and pushed through
+        # dT — exact for the rotation component of flow (which is depth-
+        # independent and is what a uniform global shift was approximating)
+        # and free, since it fuses into the surrounding elementwise ops.
+        lvl_c = len(pyr_l) - 1
+        need_gs = blackout | dT_fresh
+        gshift = jax.lax.cond(
+            need_gs,
+            lambda: global_shift_zncc(state.pyr_prev[lvl_c][0], pyr_l[lvl_c][0])[0]
+            * (2.0 ** lvl_c),
+            lambda: jnp.zeros(2, jnp.float32),
         )
+        z_far = 20.0
+        xn = (tracks.pts[:, 0] - self.cx) / self.fx
+        yn = (tracks.pts[:, 1] - self.cy) / self.fy
+        Xp = jnp.stack([xn * z_far, yn * z_far, jnp.full_like(xn, z_far)], axis=-1)
+        T10 = geo.se3_inverse(state.dT)
+        Xc = Xp @ T10[:3, :3].T + T10[:3, 3]
+        zc = jnp.maximum(Xc[:, 2], 1.0)
+        far_pts = jnp.stack(
+            [Xc[:, 0] / zc * self.fx + self.cx, Xc[:, 1] / zc * self.fy + self.cy], axis=-1
+        )
+        fallback_pts = jnp.where(need_gs, tracks.pts + gshift[None, :], far_pts)
+        prior_pts = jnp.where(prior_trusted[:, None], prior_pts, fallback_pts)
         scale_prior = jnp.where(blackout, jnp.ones_like(scale_prior), scale_prior)
 
         # [4] forward KLT with prior (pyramid of the previous frame is cached
@@ -476,6 +504,7 @@ class StereoVO:
         img_prev, du0, dv0 = state.pyr_prev[0]
         pts1_ref, ok_scale = KLT.track_with_scale(
             img_prev, du0, dv0, img_l, tracks.pts, pts1, scale_prior, ok_track,
+            iters=self.cfg.tracker.scale_iter,
             use_pallas=self.klt_params.use_pallas,
         )
         pts1 = jnp.where(ok_scale[:, None], pts1_ref, pts1)

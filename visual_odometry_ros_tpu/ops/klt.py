@@ -43,6 +43,12 @@ class KLTParams(NamedTuple):
     fb_thresh: float = 1.0  # bidirectional consistency gate, px
     border: float = 3.0
     use_pallas: bool = False  # route levels through the Pallas TPU kernel
+    # Iteration budget for non-finest levels (0 = same as `iters`). Prior-
+    # seeded tracks start within ~1-2 px at level 0, i.e. fractions of a
+    # pixel at coarse levels, where GN converges in a handful of steps —
+    # full budgets there buy nothing but wall time (kernel cost is linear
+    # in the trip count; converged lanes are masked, not retired).
+    iters_coarse: int = 0
 
 
 def resolve_use_pallas(mode: str | bool) -> bool:
@@ -158,6 +164,7 @@ def _pyr_track(pyr0, pyr1, p0, p1_init, valid, params: KLTParams, track_levels: 
         s = 2.0**lvl
         img0, gx0, gy0 = pyr0[lvl]
         img1 = pyr1[lvl][0]
+        lvl_iters = params.iters if lvl == 0 else (params.iters_coarse or params.iters)
         if params.use_pallas:
             from .klt_pallas_fp import track_level_fp
 
@@ -167,7 +174,7 @@ def _pyr_track(pyr0, pyr1, p0, p1_init, valid, params: KLTParams, track_levels: 
             # window margin). Liveness is decided at level 0.
             p1_new, ok_new, err_new, proc = track_level_fp(
                 img0, img1, p0 / s, p1, live,
-                radius=params.window_radius, iters=params.iters,
+                radius=params.window_radius, iters=lvl_iters,
                 eps=params.eps, min_eig=params.min_eig, epi1d=epi1d,
             )
             p1 = jnp.where(proc[:, None], p1_new, p1)
@@ -184,7 +191,7 @@ def _pyr_track(pyr0, pyr1, p0, p1_init, valid, params: KLTParams, track_levels: 
                 p1,
                 live,
                 offsets,
-                params.iters,
+                lvl_iters,
                 params.eps,
                 params.min_eig,
                 epi1d=epi1d,

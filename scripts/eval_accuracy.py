@@ -266,6 +266,16 @@ def render_md():
             f"| {rec['distance_m']} | {fmt(s['ate_rmse_m'])} | {fmt(s['ate_pct_of_dist'], True)} "
             f"| {fmt(s['rpe_trans_m'])} | {fmt(s['rpe_rot_deg'])} | {fmt(m['ate_rmse_sim3_m'])} | {fmt(m['ate_pct_of_dist'], True)} |"
         )
+    if "tpu_jnp" in records:
+        lines += [
+            "",
+            "The **tpu_jnp** row is the round-5 bisect that localized the TPU",
+            "accuracy gap: the SAME jnp program measured on the TPU backend",
+            "*before* the float32-matmul-precision fix (worse than the Pallas",
+            "leg — proving the defect was backend numerics, bf16 MXU rounding",
+            "of pose/landmark einsums, not the kernels). Kept as evidence; it",
+            "predates the fix and the r5 iteration budgets.",
+        ]
     if {"cpu"} < set(records) or len(records) >= 2:
         plats = [p for p in records if p != "cpu"]
         if "cpu" in records and plats:

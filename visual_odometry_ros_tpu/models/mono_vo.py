@@ -364,9 +364,12 @@ class MonoVO:
             fb_scale=5.0, back_levels=1
         )
         img_prev, du0, dv0 = state.pyr_prev[0]
+        # Mono keeps the reference's 30-iteration scale refinement: the mono
+        # scale chain (depth-filter seeds -> parallax triangulation) sits
+        # closer to keyframe-cadence boundaries than stereo, and mono is not
+        # the benched serving path, so the scale_iter budget is stereo-only.
         pts1_ref, ok_scale = KLT.track_with_scale(
             img_prev, du0, dv0, img, tracks.pts, pts1, scale_prior, ok_track,
-            iters=self.cfg.tracker.scale_iter,
             use_pallas=self.klt_params.use_pallas,
         )
         pts1 = jnp.where(ok_scale[:, None], pts1_ref, pts1)

@@ -269,12 +269,13 @@ def render_md():
     if "tpu_jnp" in records:
         lines += [
             "",
-            "The **tpu_jnp** row is the round-5 bisect that localized the TPU",
-            "accuracy gap: the SAME jnp program measured on the TPU backend",
-            "*before* the float32-matmul-precision fix (worse than the Pallas",
-            "leg — proving the defect was backend numerics, bf16 MXU rounding",
-            "of pose/landmark einsums, not the kernels). Kept as evidence; it",
-            "predates the fix and the r5 iteration budgets.",
+            "The **tpu_jnp** row (jnp kernels forced on the TPU backend, via",
+            "`--pallas off`) is the r5 bisect leg that localized the TPU",
+            "accuracy gap. Before the float32-matmul-precision fix it measured",
+            "stereo ATE **0.5507 m** / RPE rot 1.57° — *worse than the Pallas*",
+            "*leg* (0.4085 m), proving the defect was backend numerics (bf16",
+            "MXU rounding of pose/landmark einsums), not the kernels. The fix",
+            "pins `jax_default_matmul_precision=float32` in the package root.",
         ]
     if {"cpu"} < set(records) or len(records) >= 2:
         plats = [p for p in records if p != "cpu"]
